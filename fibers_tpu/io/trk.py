@@ -1,0 +1,354 @@
+"""TrackVis .trk tractogram container and I/O.
+
+Streamline coordinates in memory are 0-based voxel coordinates; the .trk
+format stores them as 0.5-based mm coordinates, converted on read/write
+exactly as the reference does (reference: src/trk.jl:410-412, src/trk.jl:476).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import struct
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.geometry import vox2ras_to_orient
+from ..core.mri import MRI
+from ..core.xform import Xform, xfm_apply
+
+__all__ = ["Tract", "trk_read", "trk_write", "str_add", "str_merge",
+           "str_xform"]
+
+_HDR_FIELDS_CHECKED = (
+    "id_string", "dim", "voxel_size", "origin", "n_scalars", "scalar_name",
+    "n_properties", "property_name", "vox_to_ras", "reserved", "voxel_order",
+    "voxel_order_original", "image_orientation_patient", "pad1", "invert_x",
+    "invert_y", "invert_z", "swap_xy", "swap_yz", "swap_zx", "version",
+    "hdr_size",
+)
+
+
+@dataclass
+class Tract:
+    """Header and streamline data in the .trk v2 layout.
+    (reference: src/trk.jl:11-42)"""
+
+    id_string: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.uint8))
+    dim: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int16))
+    voxel_size: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.float32))
+    origin: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.float32))
+    n_scalars: int = 0
+    scalar_name: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 0), np.uint8))
+    n_properties: int = 0
+    property_name: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 0), np.uint8))
+    vox_to_ras: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 0), np.float32))
+    reserved: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.uint8))
+    voxel_order: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.uint8))
+    voxel_order_original: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.uint8))
+    image_orientation_patient: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.float32))
+    pad1: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+    invert_x: int = 0
+    invert_y: int = 0
+    invert_z: int = 0
+    swap_xy: int = 0
+    swap_yz: int = 0
+    swap_zx: int = 0
+    n_count: int = 0
+    version: int = 0
+    hdr_size: int = 0
+
+    npts: List[int] = field(default_factory=list)
+    properties: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 0), np.float32))
+    xyz: List[np.ndarray] = field(default_factory=list)
+    scalars: List[np.ndarray] = field(default_factory=list)
+
+    @classmethod
+    def from_ref(cls, ref: MRI) -> "Tract":
+        """Header from a reference volume's geometry.
+        (reference: src/trk.jl:88-144)"""
+        tr = cls()
+        orient = vox2ras_to_orient(ref.vox2ras)
+
+        # Patient-to-scanner transform: x/y columns of vox2ras in LPS,
+        # divided by voxel size (reference: src/trk.jl:102-108)
+        res2 = ref.volres[[1, 0]] if ref.ispermuted else ref.volres[0:2]
+        p2s = (np.diag([-1.0, -1.0, 1.0]) @ ref.vox2ras[0:3, 0:2]
+               @ np.diag(1.0 / np.asarray(res2, np.float64)))
+
+        tr.id_string = np.frombuffer(b"TRACK\x00", dtype=np.uint8).copy()
+        if ref.ispermuted:
+            tr.dim = np.asarray(ref.volsize[[1, 0, 2]], np.int16)
+            tr.voxel_size = np.asarray(ref.volres[[1, 0, 2]], np.float32)
+        else:
+            tr.dim = np.asarray(ref.volsize, np.int16)
+            tr.voxel_size = np.asarray(ref.volres, np.float32)
+        tr.origin = np.zeros(3, np.float32)
+
+        tr.n_scalars = 0
+        tr.scalar_name = np.zeros((10, 20), np.uint8)
+        tr.n_properties = 0
+        tr.property_name = np.zeros((10, 20), np.uint8)
+
+        tr.vox_to_ras = np.asarray(ref.vox2ras, np.float32)
+        tr.reserved = np.zeros(444, np.uint8)
+        tr.voxel_order = np.frombuffer(
+            orient.encode() + b"\x00", dtype=np.uint8).copy()
+        tr.voxel_order_original = tr.voxel_order.copy()
+        tr.image_orientation_patient = np.asarray(
+            p2s, np.float32).flatten(order="F")
+        tr.pad1 = np.zeros(2, np.uint8)
+
+        tr.n_count = 0
+        tr.version = 2
+        tr.hdr_size = 1000
+        return tr
+
+
+def str_add(tr: Tract, xyz, scalars=None, properties=None) -> None:
+    """Append streamlines (list of [3, npts] arrays) to a Tract, with
+    optional per-point scalars and per-streamline properties.
+    (reference: src/trk.jl:166-266)"""
+    xyz = [np.asarray(m, np.float32) for m in xyz]
+    if any(m.shape[0] != 3 for m in xyz):
+        raise ValueError("Each streamline must be defined as a matrix with "
+                         "3 rows")
+
+    add_scalars = scalars is not None and len(scalars) > 0
+    add_properties = properties is not None and np.size(properties) > 0
+
+    if add_scalars:
+        scalars = [np.asarray(s, np.float32) for s in scalars]
+        if scalars[0].ndim == 2:
+            if any(m.shape[1] != s.shape[1] for m, s in zip(xyz, scalars)):
+                raise ValueError("Inconsistent number of points between "
+                                 "streamlines and scalars")
+            nscal = scalars[0].shape[0]
+            if any(s.shape[0] != nscal for s in scalars):
+                raise ValueError("Inconsistent number of scalars between "
+                                 "streamlines")
+        else:
+            if any(m.shape[1] != s.shape[0] for m, s in zip(xyz, scalars)):
+                raise ValueError("Inconsistent number of points between "
+                                 "streamlines and scalars")
+            nscal = 1
+        if tr.n_count == 0:
+            tr.n_scalars = nscal
+    else:
+        nscal = 0
+
+    if tr.n_scalars != nscal:
+        raise ValueError(f"Must have {tr.n_scalars} input scalars per point "
+                         "to append to Tract structure")
+
+    if add_properties:
+        properties = np.asarray(properties, np.float32)
+        if properties.ndim == 2:
+            if len(xyz) != properties.shape[1]:
+                raise ValueError("Inconsistent number of streamlines and "
+                                 "property values")
+            nprop = properties.shape[0]
+        else:
+            if len(xyz) != properties.shape[0]:
+                raise ValueError("Inconsistent number of streamlines and "
+                                 "property values")
+            nprop = 1
+            properties = properties[None, :]
+        if tr.n_count == 0:
+            tr.n_properties = nprop
+    else:
+        nprop = 0
+
+    if tr.n_properties != nprop:
+        raise ValueError(f"Must have {tr.n_properties} input properties per "
+                         "streamline to append to Tract structure")
+
+    tr.n_count += len(xyz)
+
+    for istr, m in enumerate(xyz):
+        tr.npts.append(int(m.shape[1]))
+        tr.xyz.append(m)
+        if add_scalars:
+            s = scalars[istr]
+            tr.scalars.append(s if s.ndim == 2 else s[None, :])
+        else:
+            tr.scalars.append(np.zeros((0, m.shape[1]), np.float32))
+
+    if add_properties:
+        tr.properties = (np.hstack([tr.properties, properties])
+                         if tr.properties.size else properties)
+    else:
+        empty = np.zeros((0, len(xyz)), np.float32)
+        tr.properties = (np.hstack([tr.properties, empty])
+                         if tr.properties.shape[0] else empty)
+
+
+def str_merge(tr1: Tract, *rest: Tract) -> Tract:
+    """Merge streamlines from Tracts with matching headers.
+    (reference: src/trk.jl:275-308)"""
+    import copy
+    tr = copy.deepcopy(tr1)
+    for trnew in rest:
+        for name in _HDR_FIELDS_CHECKED:
+            a, b = getattr(tr, name), getattr(trnew, name)
+            same = (np.array_equal(a, b) if isinstance(a, np.ndarray)
+                    else a == b)
+            if not same:
+                raise ValueError(f"Mismatch in header field {name} between "
+                                 "input tracts")
+        tr.n_count += trnew.n_count
+        tr.npts.extend(trnew.npts)
+        tr.xyz.extend(trnew.xyz)
+        tr.scalars.extend(trnew.scalars)
+        tr.properties = np.hstack([tr.properties, trnew.properties]) \
+            if tr.properties.size or trnew.properties.size else tr.properties
+
+    return tr
+
+
+def str_xform(xfm: Xform, tr: Tract) -> Tract:
+    """Apply a transform to streamline coordinates; rewrite geometry header.
+    (reference: src/trk.jl:316-347)"""
+    import copy
+    out = copy.deepcopy(tr)
+
+    out.dim = np.asarray(xfm.outsize, np.int16)
+    out.voxel_size = np.asarray(xfm.outres, np.float32)
+    out.vox_to_ras = np.asarray(xfm.outvox2ras, np.float32)
+
+    orient = vox2ras_to_orient(out.vox_to_ras)
+    out.voxel_order = np.frombuffer(
+        orient.encode() + b"\x00", dtype=np.uint8).copy()
+    out.voxel_order_original = out.voxel_order.copy()
+
+    p2s = (np.diag([-1.0, -1.0, 1.0]) @ out.vox_to_ras[0:3, 0:2]
+           @ np.diag(1.0 / np.asarray(out.voxel_size[0:2], np.float64)))
+    out.image_orientation_patient = np.asarray(
+        p2s, np.float32).flatten(order="F")
+
+    out.xyz = [xfm_apply(xfm, m) for m in tr.xyz]
+    return out
+
+
+def trk_read(infile: str) -> Tract:
+    """Read a .trk file.  (reference: src/trk.jl:358-423)"""
+    with open(infile, "rb") as f:
+        buf = f.read()
+
+    tr = Tract()
+    pos = 0
+
+    def take(dtype, n):
+        nonlocal pos
+        out = np.frombuffer(buf, dtype=dtype, count=n, offset=pos).copy()
+        pos += np.dtype(dtype).itemsize * n
+        return out
+
+    tr.id_string = take(np.uint8, 6)
+    tr.dim = take("<i2", 3)
+    tr.voxel_size = take("<f4", 3)
+    tr.origin = take("<f4", 3)
+    tr.n_scalars = int(take("<i2", 1)[0])
+    tr.scalar_name = take(np.uint8, 200).reshape(10, 20)
+    tr.n_properties = int(take("<i2", 1)[0])
+    tr.property_name = take(np.uint8, 200).reshape(10, 20)
+    tr.vox_to_ras = take("<f4", 16).reshape(4, 4)
+    tr.reserved = take(np.uint8, 444)
+    tr.voxel_order = take(np.uint8, 4)
+    tr.voxel_order_original = take(np.uint8, 4)
+    tr.image_orientation_patient = take("<f4", 6)
+    tr.pad1 = take(np.uint8, 2)
+    tr.invert_x = int(take(np.uint8, 1)[0])
+    tr.invert_y = int(take(np.uint8, 1)[0])
+    tr.invert_z = int(take(np.uint8, 1)[0])
+    tr.swap_xy = int(take(np.uint8, 1)[0])
+    tr.swap_yz = int(take(np.uint8, 1)[0])
+    tr.swap_zx = int(take(np.uint8, 1)[0])
+    tr.n_count = int(take("<i4", 1)[0])
+    tr.version = int(take("<i4", 1)[0])
+    tr.hdr_size = int(take("<i4", 1)[0])
+
+    vsz = tr.voxel_size.astype(np.float32)
+    ns, npr = tr.n_scalars, tr.n_properties
+
+    for _ in range(tr.n_count):
+        n = int(take("<i4", 1)[0])
+        tr.npts.append(n)
+        rec = take("<f4", n * (3 + ns)).reshape(n, 3 + ns)
+        # mm -> 0-based voxel coordinates (reference: src/trk.jl:410-412)
+        tr.xyz.append(
+            np.ascontiguousarray((rec[:, 0:3] / vsz - 0.5).T))
+        tr.scalars.append(np.ascontiguousarray(rec[:, 3:].T))
+        props = take("<f4", npr)
+        if tr.properties.size == 0:
+            tr.properties = props[:, None]
+        else:
+            tr.properties = np.hstack([tr.properties, props[:, None]])
+
+    if tr.properties.size == 0:
+        tr.properties = np.zeros((npr, tr.n_count), np.float32)
+
+    return tr
+
+
+def trk_write(tr: Tract, outfile: str) -> bool:
+    """Write a .trk file.  Returns True on error.
+    (reference: src/trk.jl:433-495)"""
+    buf = _io.BytesIO()
+
+    def pad_bytes(arr, n):
+        b = np.asarray(arr, np.uint8).tobytes()
+        return b[:n].ljust(n, b"\x00")
+
+    buf.write(pad_bytes(tr.id_string, 6))
+    buf.write(np.asarray(tr.dim, "<i2").tobytes())
+    buf.write(np.asarray(tr.voxel_size, "<f4").tobytes())
+    buf.write(np.asarray(tr.origin, "<f4").tobytes())
+    buf.write(struct.pack("<h", tr.n_scalars))
+    buf.write(pad_bytes(tr.scalar_name, 200))
+    buf.write(struct.pack("<h", tr.n_properties))
+    buf.write(pad_bytes(tr.property_name, 200))
+    buf.write(np.asarray(tr.vox_to_ras, "<f4").tobytes())
+    buf.write(pad_bytes(tr.reserved, 444))
+    buf.write(pad_bytes(tr.voxel_order, 4))
+    buf.write(pad_bytes(tr.voxel_order_original, 4))
+    buf.write(np.asarray(tr.image_orientation_patient, "<f4").tobytes())
+    buf.write(pad_bytes(tr.pad1, 2))
+    buf.write(struct.pack("<6B", tr.invert_x, tr.invert_y, tr.invert_z,
+                          tr.swap_xy, tr.swap_yz, tr.swap_zx))
+    buf.write(struct.pack("<iii", tr.n_count, tr.version, tr.hdr_size))
+
+    vsz = np.asarray(tr.voxel_size, np.float32)
+    for istr in range(tr.n_count):
+        n = tr.npts[istr]
+        buf.write(struct.pack("<i", n))
+        # 0-based voxel -> 0.5-based mm (reference: src/trk.jl:476)
+        pts = (np.asarray(tr.xyz[istr], np.float32) + 0.5) * vsz[:, None]
+        scal = np.asarray(tr.scalars[istr], np.float32)
+        rec = np.vstack([pts, scal]) if scal.size else pts
+        buf.write(rec.astype("<f4").tobytes(order="F"))
+        buf.write(np.asarray(tr.properties[:, istr], "<f4").tobytes())
+
+    payload = buf.getvalue()
+    npts_total = sum(int(np.asarray(m).shape[1]) * 3 for m in tr.xyz)
+    nscal_total = sum(int(np.asarray(s).size) for s in tr.scalars)
+    expected = (866 + 4 * (3 + len(tr.npts)) + 2 * 5 + 4 * 28
+                + 4 * (npts_total + nscal_total + int(tr.properties.size)))
+    err = len(payload) != expected
+
+    with open(outfile, "wb") as f:
+        f.write(payload)
+
+    return err
