@@ -75,6 +75,31 @@ class Tract:
     xyz: List[np.ndarray] = field(default_factory=list)
     scalars: List[np.ndarray] = field(default_factory=list)
 
+    # Packed fast path for large tractograms (millions of streamlines):
+    # one flat [total_points, 3] array + per-line counts instead of a
+    # Python list of small matrices.  `materialize()` exposes the list
+    # view on demand; trk_write has a vectorized writer for this layout.
+    packed_xyz: Optional[np.ndarray] = None
+
+    def set_packed(self, flat_pts: np.ndarray, npts: np.ndarray) -> None:
+        """Adopt packed streamline storage ([total, 3] + counts)."""
+        self.packed_xyz = np.ascontiguousarray(flat_pts, dtype=np.float32)
+        self.npts = [int(n) for n in npts] if len(npts) < 100000 else npts
+        self.n_count = int(len(npts))
+        self.xyz = []
+        self.scalars = []
+
+    def materialize(self) -> None:
+        """Populate the per-streamline `xyz` list from packed storage
+        (views into the flat array, no copies)."""
+        if self.packed_xyz is None or self.xyz:
+            return
+        offsets = np.concatenate([[0], np.cumsum(np.asarray(self.npts))])
+        self.xyz = [self.packed_xyz[offsets[i]:offsets[i + 1]].T
+                    for i in range(self.n_count)]
+        self.scalars = [np.zeros((0, int(n)), np.float32)
+                        for n in np.asarray(self.npts)]
+
     @classmethod
     def from_ref(cls, ref: MRI) -> "Tract":
         """Header from a reference volume's geometry.
@@ -121,6 +146,10 @@ def str_add(tr: Tract, xyz, scalars=None, properties=None) -> None:
     """Append streamlines (list of [3, npts] arrays) to a Tract, with
     optional per-point scalars and per-streamline properties.
     (reference: src/trk.jl:166-266)"""
+    tr.materialize()
+    tr.packed_xyz = None
+    if isinstance(tr.npts, np.ndarray):
+        tr.npts = [int(n) for n in tr.npts]
     xyz = [np.asarray(m, np.float32) for m in xyz]
     if any(m.shape[0] != 3 for m in xyz):
         raise ValueError("Each streamline must be defined as a matrix with "
@@ -199,6 +228,9 @@ def str_merge(tr1: Tract, *rest: Tract) -> Tract:
     """Merge streamlines from Tracts with matching headers.
     (reference: src/trk.jl:275-308)"""
     import copy
+    tr1.materialize()
+    for t in rest:
+        t.materialize()
     tr = copy.deepcopy(tr1)
     for trnew in rest:
         for name in _HDR_FIELDS_CHECKED:
@@ -222,6 +254,7 @@ def str_xform(xfm: Xform, tr: Tract) -> Tract:
     """Apply a transform to streamline coordinates; rewrite geometry header.
     (reference: src/trk.jl:316-347)"""
     import copy
+    tr.materialize()
     out = copy.deepcopy(tr)
 
     out.dim = np.asarray(xfm.outsize, np.int16)
@@ -303,9 +336,7 @@ def trk_read(infile: str) -> Tract:
     return tr
 
 
-def trk_write(tr: Tract, outfile: str) -> bool:
-    """Write a .trk file.  Returns True on error.
-    (reference: src/trk.jl:433-495)"""
+def _trk_header_bytes(tr: Tract) -> bytes:
     buf = _io.BytesIO()
 
     def pad_bytes(arr, n):
@@ -329,6 +360,45 @@ def trk_write(tr: Tract, outfile: str) -> bool:
     buf.write(struct.pack("<6B", tr.invert_x, tr.invert_y, tr.invert_z,
                           tr.swap_xy, tr.swap_yz, tr.swap_zx))
     buf.write(struct.pack("<iii", tr.n_count, tr.version, tr.hdr_size))
+    return buf.getvalue()
+
+
+def _trk_write_packed(tr: Tract, outfile: str) -> bool:
+    """Vectorized writer for packed tractograms with no scalars/properties:
+    builds the record stream [npts_i, 3*npts_i floats]... as one flat f32
+    buffer with bitcast int32 counts."""
+    npts = np.asarray(tr.npts, np.int64)
+    n = len(npts)
+    total = int(npts.sum())
+    vsz = np.asarray(tr.voxel_size, np.float32)
+
+    out = np.empty(n + 3 * total, np.float32)
+    rec_off = np.concatenate([[0], np.cumsum(1 + 3 * npts)])[:-1]
+    out.view(np.int32)[rec_off] = npts.astype(np.int32)
+
+    # Destination indices for the xyz payload of each line
+    pt_dst = np.repeat(rec_off + 1, 3 * npts) + (
+        np.arange(3 * total) - np.repeat(np.cumsum(3 * npts) - 3 * npts,
+                                         3 * npts))
+    pts_mm = (tr.packed_xyz + 0.5) * vsz[None, :]
+    out[pt_dst] = pts_mm.reshape(-1)
+
+    header = _trk_header_bytes(tr)
+    with open(outfile, "wb") as f:
+        f.write(header)
+        f.write(out.astype("<f4").tobytes())
+    return len(header) != 1000
+
+
+def trk_write(tr: Tract, outfile: str) -> bool:
+    """Write a .trk file.  Returns True on error.
+    (reference: src/trk.jl:433-495)"""
+    if (tr.packed_xyz is not None and not tr.xyz
+            and tr.n_scalars == 0 and tr.n_properties == 0):
+        return _trk_write_packed(tr, outfile)
+
+    buf = _io.BytesIO()
+    buf.write(_trk_header_bytes(tr))
 
     vsz = np.asarray(tr.voxel_size, np.float32)
     for istr in range(tr.n_count):

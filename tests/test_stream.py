@@ -1,0 +1,231 @@
+"""Tractography tests: lockstep integrator semantics on synthetic fields."""
+
+import numpy as np
+import pytest
+
+import fibers_tpu as ft
+
+
+def _vec_field(shape, direction):
+    """Uniform unit vector field as an MRI ([x,y,z,3])."""
+    v = np.zeros(shape + (3,), np.float32)
+    d = np.asarray(direction, np.float32)
+    d = d / np.linalg.norm(d)
+    v[..., 0], v[..., 1], v[..., 2] = d
+    m = ft.MRI(vol=v)
+    m.vox2ras0 = np.diag([1.0, 1.0, 1.0, 1.0]).astype(np.float32)
+    m.volsize = np.asarray(shape)
+    m.width, m.height, m.depth = shape
+    m.nframes = 3
+    m.set_geometry()
+    return m
+
+
+def _mask_mri(ref, arr):
+    m = ft.MRI.like(ref, 1, np.float32)
+    m.vol = arr.astype(np.float32)
+    return m
+
+
+class TestDeterministic:
+    def test_straight_fiber(self):
+        shape = (20, 7, 7)
+        ov = _vec_field(shape, (1, 0, 0))
+        mask = np.zeros(shape, bool)
+        mask[:, 3, 3] = True      # a single straight corridor
+        seedm = np.zeros(shape, bool)
+        seedm[10, 3, 3] = True
+
+        tr = ft.stream(ov, mask=_mask_mri(ov, mask),
+                       seed=_mask_mri(ov, seedm), nsub=1, seed_rng=0,
+                       len_max=100)
+        assert tr.n_count == 1
+        tr.materialize()
+        pts = tr.xyz[0].T          # [npts, 3]
+        # Streamline should span the corridor in x at constant y,z
+        assert pts[:, 0].max() - pts[:, 0].min() > 15
+        assert np.allclose(pts[:, 1], pts[0, 1], atol=0.6)
+        assert np.allclose(pts[:, 2], pts[0, 2], atol=0.6)
+        # x strictly monotonic except for the duplicated seed point at the
+        # fwd/bwd junction (reference prepend/append order)
+        dx = np.diff(pts[:, 0])
+        assert (np.abs(dx) <= 0.51).all()
+        n_nonmono = ((dx > 0).sum(), (dx < 0).sum())
+        assert min(n_nonmono) <= 1
+
+    def test_seed_point_duplicated(self):
+        """The seed position is saved once per direction, as in the
+        reference (src/stream.jl:648-660)."""
+        shape = (20, 7, 7)
+        ov = _vec_field(shape, (1, 0, 0))
+        mask = np.zeros(shape, bool)
+        mask[:, 3, 3] = True
+        seedm = np.zeros(shape, bool)
+        seedm[10, 3, 3] = True
+        tr = ft.stream(ov, mask=_mask_mri(ov, mask),
+                       seed=_mask_mri(ov, seedm), nsub=0)
+        tr.materialize()
+        pts = tr.xyz[0].T
+        seed_pos = np.array([10.0, 3.0, 3.0])
+        d = np.linalg.norm(pts - seed_pos, axis=1)
+        assert (d < 1e-5).sum() == 2
+
+    def test_angle_threshold_stops(self):
+        """A sharp 90-degree bend in the field terminates propagation."""
+        shape = (20, 20, 5)
+        v = np.zeros(shape + (3,), np.float32)
+        v[:10, :, :, 0] = 1.0       # x-direction on the left half
+        v[10:, :, :, 1] = 1.0       # y-direction on the right half
+        ov = ft.MRI(vol=v)
+        ov.vox2ras0 = np.eye(4, dtype=np.float32)
+        ov.volsize = np.asarray(shape)
+        ov.width, ov.height, ov.depth = shape
+        ov.nframes = 3
+        ov.set_geometry()
+        mask = np.zeros(shape, bool)
+        mask[:, 10, 2] = True
+        mask[12, :, 2] = True       # corridor continues in y after the bend
+        seedm = np.zeros(shape, bool)
+        seedm[5, 10, 2] = True
+        tr = ft.stream(ov, mask=_mask_mri(ov, mask),
+                       seed=_mask_mri(ov, seedm), nsub=0, ang_thresh=45)
+        tr.materialize()
+        pts = tr.xyz[0].T
+        # must not turn the 90-degree corner: y stays ~10
+        assert np.abs(pts[:, 1] - 10).max() < 1.0
+
+    def test_len_min_filters(self):
+        shape = (20, 7, 7)
+        ov = _vec_field(shape, (1, 0, 0))
+        mask = np.zeros(shape, bool)
+        mask[9:12, 3, 3] = True     # 3-voxel corridor -> short lines
+        seedm = np.zeros(shape, bool)
+        seedm[10, 3, 3] = True
+        tr_loose = ft.stream(ov, mask=_mask_mri(ov, mask),
+                             seed=_mask_mri(ov, seedm), nsub=0, len_min=3)
+        tr_strict = ft.stream(ov, mask=_mask_mri(ov, mask),
+                              seed=_mask_mri(ov, seedm), nsub=0, len_min=50)
+        assert tr_loose.n_count == 1
+        assert tr_strict.n_count == 0
+
+    def test_len_max_bounds_length(self):
+        shape = (64, 5, 5)
+        ov = _vec_field(shape, (1, 0, 0))
+        mask = np.zeros(shape, bool)
+        mask[:, 2, 2] = True
+        seedm = np.zeros(shape, bool)
+        seedm[32, 2, 2] = True
+        tr = ft.stream(ov, mask=_mask_mri(ov, mask),
+                       seed=_mask_mri(ov, seedm), nsub=0, len_max=10)
+        tr.materialize()
+        # npts > len_max breaks after saving; the backward pass saves one
+        # more before its check, exactly like the reference's shared npts
+        # counter: max len_max+2 points total
+        assert tr.npts[0] <= 12
+
+    def test_nsub_multiplies_streams(self):
+        shape = (20, 7, 7)
+        ov = _vec_field(shape, (1, 0, 0))
+        mask = np.zeros(shape, bool)
+        mask[:, 2:5, 2:5] = True
+        seedm = np.zeros(shape, bool)
+        seedm[10, 3, 3] = True
+        tr = ft.stream(ov, mask=_mask_mri(ov, mask),
+                       seed=_mask_mri(ov, seedm), nsub=3)
+        assert tr.n_count == 3
+
+    def test_reproducible_with_seed(self):
+        shape = (16, 9, 9)
+        ov = _vec_field(shape, (1, 0.2, 0))
+        mask = np.ones(shape, bool)
+        tr1 = ft.stream(ov, mask=_mask_mri(ov, mask), nsub=2, seed_rng=7)
+        tr2 = ft.stream(ov, mask=_mask_mri(ov, mask), nsub=2, seed_rng=7)
+        assert tr1.n_count == tr2.n_count
+        assert np.allclose(tr1.packed_xyz, tr2.packed_xyz)
+
+    def test_trk_output(self, tmp_path):
+        shape = (20, 7, 7)
+        ov = _vec_field(shape, (1, 0, 0))
+        mask = np.zeros(shape, bool)
+        mask[:, 2:5, 2:5] = True
+        maskm = _mask_mri(ov, mask)
+        tr = ft.stream(ov, mask=maskm, nsub=1)
+        p = str(tmp_path / "out.trk")
+        assert ft.trk_write(tr, p) is False
+        t2 = ft.trk_read(p)
+        assert t2.n_count == tr.n_count
+        tr.materialize()
+        for a, b in zip(t2.xyz[:5], tr.xyz[:5]):
+            assert np.allclose(a, b, atol=1e-5)
+
+    def test_two_peak_voxels(self):
+        """With two orientation volumes, the integrator picks the less
+        bending one per voxel."""
+        shape = (20, 20, 5)
+        ov1 = _vec_field(shape, (1, 0, 0))
+        ov2 = _vec_field(shape, (0, 1, 0))
+        mask = np.zeros(shape, bool)
+        mask[:, 10, 2] = True
+        seedm = np.zeros(shape, bool)
+        seedm[10, 10, 2] = True
+        tr = ft.stream([ov1, ov2], mask=_mask_mri(ov1, mask),
+                       seed=_mask_mri(ov1, seedm), nsub=0, len_max=100)
+        tr.materialize()
+        pts = tr.xyz[0].T
+        # stays on the x corridor (picks ov1 at every step)
+        assert pts[:, 0].max() - pts[:, 0].min() > 15
+        assert np.abs(pts[:, 1] - 10).max() < 0.6
+
+
+class TestMicroMode:
+    def test_micro_follows_fiber(self):
+        shape = (30, 9, 9)
+        ov = _vec_field(shape, (1, 0, 0))
+        ov.volres = np.array([0.01, 0.01, 0.01], np.float32)  # 10 um
+        mask = np.zeros(shape, bool)
+        mask[:, 4, 4] = True
+        seedm = np.zeros(shape, bool)
+        seedm[15, 4, 4] = True
+        tr = ft.stream(ov, mask=_mask_mri(ov, mask),
+                       seed=_mask_mri(ov, seedm), nsub=0, search_dist=3,
+                       len_max=100)
+        assert tr.n_count == 1
+        tr.materialize()
+        pts = tr.xyz[0].T
+        assert pts[:, 0].max() - pts[:, 0].min() > 20
+
+
+class TestLCMMode:
+    def test_lcm_propagates_in_plane(self):
+        shape = (16, 16, 1)
+        # 2D x-oriented field (z component all zero -> through-plane = z)
+        v = np.zeros(shape + (3,), np.float32)
+        v[..., 0] = 1.0
+        ov = ft.MRI(vol=v)
+        ov.vox2ras0 = np.eye(4, dtype=np.float32)
+        ov.volsize = np.asarray(shape)
+        ov.width, ov.height, ov.depth = shape
+        ov.nframes = 3
+        ov.set_geometry()
+
+        mask = np.zeros(shape, bool)
+        mask[:, 8, 0] = True
+        seedm = np.zeros(shape, bool)
+        seedm[8, 8, 0] = True
+
+        # LCM volume: only the x-through connection (edge pair (0,2) ->
+        # vectorized element index 2) is open everywhere
+        lcm = np.zeros(shape + (10,), np.float32)
+        lcm[..., 2] = 1.0
+        lcmm = ft.MRI(vol=lcm)
+
+        tr = ft.stream(ov, mask=_mask_mri(ov, mask),
+                       seed=_mask_mri(ov, seedm), lcms=lcmm, nsub=0,
+                       step_size=1.0, len_max=100)
+        assert tr.n_count == 1
+        pts = tr.xyz[0].T
+        assert pts[:, 0].max() - pts[:, 0].min() > 10
+        assert np.allclose(pts[:, 1], 8, atol=0.5)
+        # method-difference scalars recorded per point
+        assert tr.n_scalars == 1
+        assert tr.scalars[0].shape[1] == pts.shape[0]
