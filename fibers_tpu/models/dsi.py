@@ -1,0 +1,217 @@
+"""Diffusion Spectrum Imaging (DSI) reconstruction.
+
+Re-architected from the reference's per-voxel planned FFT + per-vertex
+interpolation loops (reference: src/dsi.jl:59-261) into batched XLA:
+signals scatter onto a [B, nfft^3] q-space grid, one batched 3D FFT with
+fftshift rolls, then the radial ODF integral collapses into a single
+[B, nfft^3] x [nfft^3, nvert] MXU GEMM whose weight matrix pre-bakes the
+trilinear interpolation stencils and r^2 dr quadrature of all 21 radii.
+
+Wedeen et al. (2005), Magn Reson Med 54(6):1377-1386.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mri import MRI
+from ..core.odf import ODF, half_sphere
+from ..io.dispatch import mri_write_struct
+from ..ops.masked import gather_frames, mask_indices, pad_rows, scatter_frames
+from ..ops.peaks import build_neighbors, peak_mask, top_peaks
+
+__all__ = ["DSI", "dsi_rec", "dsi_write"]
+
+NPEAK = 3
+
+
+@dataclass
+class DSI:
+    """Outputs of a DSI reconstruction.  (reference: src/dsi.jl:10-15)"""
+
+    pdf: MRI
+    odf: MRI
+    peak: List[MRI]
+    qa: List[MRI]
+
+
+def _dsi_grid(bval: np.ndarray, bvec: np.ndarray, hann_width: int):
+    """Map q-space samples onto the zero-padded FFT grid.
+
+    Returns (nfft, iq_flat [nvol] C-order flat indices, hann [nvol]).
+    (reference: src/dsi.jl:61-85)
+    """
+    bval = bval.astype(np.float64)
+    q = bvec.astype(np.float64) * np.sqrt(bval)[:, None]
+    bmin = bval.min()
+    above = bval[bval > bmin]
+    if above.size == 0:
+        raise ValueError("DSI requires multiple b-values on a q-space grid")
+    dq = np.sqrt(above.min())
+    iq = np.round(q / dq).astype(np.int64)
+
+    nfft = int(iq.max() - iq.min() + 1)
+    nfft = 1 << int(np.ceil(np.log2(nfft)))
+    shift = nfft // 2                       # 0-based center index
+    iq0 = iq + shift
+    iq_flat = (iq0[:, 0] * nfft + iq0[:, 1]) * nfft + iq0[:, 2]
+
+    if hann_width == 0:
+        hann = np.ones(len(bval), np.float32)
+    else:
+        hann = ((1.0 + np.cos(np.sqrt((iq ** 2).sum(axis=1))
+                              * (2 * np.pi / hann_width))) * 0.5)
+    return nfft, iq_flat.astype(np.int32), hann.astype(np.float32)
+
+
+def _radial_weight_matrix(nfft: int, odf_dirs: ODF) -> np.ndarray:
+    """[nfft^3, nvert] matrix turning a flat PDF into ODF amplitudes.
+
+    Bakes the 21-point radial quadrature (radii 0.3..0.9 of Nyquist,
+    reference: src/dsi.jl:104-109) and trilinear interpolation stencils
+    (reference: src/dsi.jl:229-242) into one dense GEMM operand.
+    """
+    nvert = odf_dirs.nvert_half
+    verts = odf_dirs.vertices[nvert:].astype(np.float64)   # lower half
+
+    qr = (nfft / 2 - 1) * np.arange(0.3, 0.9 + 1e-9, 0.03)
+    dqr = qr[1] - qr[0]
+    shift = nfft // 2
+
+    w = np.zeros((nfft ** 3, nvert), np.float64)
+    for irad, r in enumerate(qr):
+        coords = verts * r + shift                          # [nvert, 3]
+        base = np.floor(coords).astype(np.int64)
+        frac = coords - base
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    cw = (np.where(dx, frac[:, 0], 1 - frac[:, 0])
+                          * np.where(dy, frac[:, 1], 1 - frac[:, 1])
+                          * np.where(dz, frac[:, 2], 1 - frac[:, 2]))
+                    ix = np.clip(base[:, 0] + dx, 0, nfft - 1)
+                    iy = np.clip(base[:, 1] + dy, 0, nfft - 1)
+                    iz = np.clip(base[:, 2] + dz, 0, nfft - 1)
+                    flat = (ix * nfft + iy) * nfft + iz
+                    np.add.at(w, (flat, np.arange(nvert)),
+                              cw * r * r * dqr)
+    return w.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("nfft", "npeak"))
+def _dsi_kernel(signals, iq_flat, hann, wmat, verts_first, nbr, nbr_valid,
+                nfft, npeak=NPEAK):
+    """signals [B, nvol] -> pdf [B, nq], odf [B, nvert], peaks, qa terms."""
+    s = jnp.maximum(signals, 0.0)
+    valid = s.max(axis=1) > 0
+
+    b = s.shape[0]
+    grid = jnp.zeros((b, nfft ** 3), signals.dtype)
+    grid = grid.at[:, iq_flat].set(s * hann[None, :])
+    grid = grid.reshape(b, nfft, nfft, nfft)
+
+    shift = nfft // 2
+    grid = jnp.roll(grid, (shift, shift, shift), axis=(1, 2, 3))
+    spec = jnp.fft.fftn(grid, axes=(1, 2, 3))
+    spec = jnp.roll(spec, (shift, shift, shift), axis=(1, 2, 3))
+
+    p = jnp.real(spec).reshape(b, nfft ** 3)
+    p = p / p.sum(axis=1, keepdims=True)
+
+    pdf = p[:, iq_flat]
+
+    odf = jnp.dot(p, wmat, preferred_element_type=jnp.float32)
+    odfmin = odf.min(axis=1)
+
+    is_peak = peak_mask(odf, nbr, nbr_valid)
+    vals, idx, pvalid = top_peaks(odf, is_peak, npeak)
+    pvalid = pvalid & valid[:, None]
+
+    vecs = jnp.where(pvalid[..., None], verts_first[idx], 0.0)
+    qa = jnp.where(pvalid, vals - odfmin[:, None], 0.0)
+
+    vz = valid[:, None]
+    pdf = jnp.where(vz, pdf, 0.0)
+    odf = jnp.where(vz, odf, 0.0)
+    odfmean = jnp.where(valid, odf.mean(axis=1), 0.0)
+    return pdf, odf, vecs, qa, odfmean, valid
+
+
+def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
+            hann_width: int = 32, chunk: int = 4096) -> DSI:
+    """DSI reconstruction of DWIs.  (reference: src/dsi.jl:171-270)"""
+    if dwi.bval is None or len(dwi.bval) == 0:
+        raise ValueError("Missing b-value table from input DWI structure")
+    if dwi.bvec is None or np.asarray(dwi.bvec).size == 0:
+        raise ValueError("Missing gradient table from input DWI structure")
+
+    if odf_dirs is None:
+        from ..core import odf as _odf
+        odf_dirs = _odf.sphere_642
+
+    nvert = odf_dirs.nvert_half
+    nfft, iq_flat, hann = _dsi_grid(np.asarray(dwi.bval, np.float32),
+                                    np.asarray(dwi.bvec, np.float32),
+                                    hann_width)
+    wmat = _radial_weight_matrix(nfft, odf_dirs)
+    _, verts_first, faces0 = half_sphere(odf_dirs)
+    nbr, nbr_ok = build_neighbors(faces0, nvert)
+
+    idx = mask_indices(mask.vol)
+    signals = gather_frames(dwi.vol, idx).astype(np.float32)
+    n = len(idx)
+    nq = len(iq_flat)
+
+    pdf_all = np.zeros((n, nq), np.float32)
+    odf_all = np.zeros((n, nvert), np.float32)
+    vecs_all = np.zeros((n, NPEAK, 3), np.float32)
+    qa_all = np.zeros((n, NPEAK), np.float32)
+    odfmax = 0.0
+
+    args = (jnp.asarray(iq_flat), jnp.asarray(hann), jnp.asarray(wmat),
+            jnp.asarray(verts_first), jnp.asarray(nbr), jnp.asarray(nbr_ok))
+
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        batch = pad_rows(signals[lo:hi], chunk)
+        pdf, odf, vecs, qa, odfmean, valid = _dsi_kernel(
+            jnp.asarray(batch), *args, nfft=nfft)
+        m = hi - lo
+        pdf_all[lo:hi] = np.asarray(pdf)[:m]
+        odf_all[lo:hi] = np.asarray(odf)[:m]
+        vecs_all[lo:hi] = np.asarray(vecs)[:m]
+        qa_all[lo:hi] = np.asarray(qa)[:m]
+        odfmax = max(odfmax, float(np.asarray(odfmean)[:m].max()))
+
+    # Global QA normalization (reference: src/dsi.jl:263-267)
+    if odfmax > 0:
+        qa_all /= odfmax
+
+    shape3 = mask.vol.shape[:3]
+    pdf = MRI.like(mask, nq, np.float32)
+    pdf.vol = scatter_frames(pdf_all, idx, shape3)
+    odf = MRI.like(mask, nvert, np.float32)
+    odf.vol = scatter_frames(odf_all, idx, shape3)
+
+    peak, qa = [], []
+    for ip in range(NPEAK):
+        pm = MRI.like(mask, 3, np.float32)
+        pm.vol = scatter_frames(vecs_all[:, ip, :], idx, shape3)
+        peak.append(pm)
+        qm = MRI.like(mask, 1, np.float32)
+        qm.vol = scatter_frames(qa_all[:, ip], idx, shape3)
+        qa.append(qm)
+
+    return DSI(pdf=pdf, odf=odf, peak=peak, qa=qa)
+
+
+def dsi_write(dsi: DSI, basename: str) -> None:
+    """Write DSI volumes as <basename>_<field>[i].nii.gz.
+    (reference: src/dsi.jl:279-294)"""
+    mri_write_struct(dsi, basename)
