@@ -1,0 +1,121 @@
+"""Structure-tensor reconstruction.
+
+Re-architected from the reference's ImageFiltering convolutions + threaded
+per-voxel eigendecomposition (reference: src/structens.jl:13-88) into
+separable XLA convolutions (Gaussian smooth, Scharr gradients, reflect
+padding) and the batched closed-form 3x3 eigensolver.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["st_recon", "st_eigen"]
+
+
+def _gaussian_kernel1d(sigma: float) -> np.ndarray:
+    """Odd-length Gaussian kernel matching ImageFiltering's
+    KernelFactors.gaussian default length 4*ceil(sigma)+1."""
+    r = int(4 * np.ceil(sigma)) // 2 * 2 // 2
+    r = max(r, int(np.ceil(2 * sigma)))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-x * x / (2 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+# Scharr 3-tap factors: derivative [-1/2, 0, 1/2] smoothed by
+# [3/16, 10/16, 3/16] along the other axes (ImageFiltering's
+# KernelFactors.scharr convention)
+_SCHARR_SMOOTH = np.array([3.0, 10.0, 3.0], np.float32) / 16.0
+_SCHARR_DERIV = np.array([-0.5, 0.0, 0.5], np.float32)
+
+
+def _conv1d_reflect(vol, kernel, axis):
+    """Separable 1D convolution along `axis` with reflect ("symmetric")
+    boundary, matching imfilter(..., "reflect")."""
+    k = jnp.asarray(kernel)
+    r = (len(kernel) - 1) // 2
+    pad = [(0, 0)] * vol.ndim
+    pad[axis] = (r, r)
+    v = jnp.pad(vol, pad, mode="symmetric")
+
+    # correlation via conv_general_dilated on [N=1, C=1, ...] layout
+    x = v[None, None]
+    kshape = [1] * vol.ndim
+    kshape[axis] = len(kernel)
+    w = k.reshape([1, 1] + kshape)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape,
+        ("NC" + "DHW"[:vol.ndim], "OI" + "DHW"[:vol.ndim],
+         "NC" + "DHW"[:vol.ndim]))
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=[1] * vol.ndim, padding="VALID",
+        dimension_numbers=dn)
+    return out[0, 0]
+
+
+def _smooth(vol, sigma):
+    k = _gaussian_kernel1d(sigma)
+    for ax in range(3):
+        vol = _conv1d_reflect(vol, k, ax)
+    return vol
+
+
+def _scharr_grad(vol, axis):
+    for ax in range(3):
+        k = _SCHARR_DERIV if ax == axis else _SCHARR_SMOOTH
+        vol = _conv1d_reflect(vol, k, ax)
+    return vol
+
+
+@partial(jax.jit, static_argnames=("sigma", "rho"))
+def _st_kernel(vol, sigma, rho):
+    if sigma > 0:
+        image = _smooth(vol, sigma)
+    else:
+        image = vol
+
+    gx = _scharr_grad(image, 0)
+    gy = _scharr_grad(image, 1)
+    gz = _scharr_grad(image, 2)
+
+    comps = [gx * gx, gx * gy, gx * gz, gy * gy, gy * gz, gz * gz]
+    if rho > 0:
+        comps = [_smooth(c, rho) for c in comps]
+
+    u = jnp.stack(comps, axis=-1)           # [..., 6] unique elements
+    from ..ops.eig3 import eigh3
+    evals, evecs = eigh3(u)
+    # The reference returns Julia `eigen` ordering: ascending eigenvalues
+    # (reference: src/structens.jl:26-28); flip our descending output.
+    return evecs[..., ::-1], evals[..., ::-1]
+
+
+def st_eigen(sxx, sxy, sxz, syy, syz, szz):
+    """Voxel-wise eigendecomposition of a symmetric tensor field.
+
+    Returns (eigvec [..., 3, 3], eigval [..., 3]) with eigenvalues
+    ascending, as in the reference (src/structens.jl:13-34).
+    """
+    u = jnp.stack([jnp.asarray(sxx), jnp.asarray(sxy), jnp.asarray(sxz),
+                   jnp.asarray(syy), jnp.asarray(syz), jnp.asarray(szz)],
+                  axis=-1)
+    from ..ops.eig3 import eigh3
+    evals, evecs = eigh3(u)
+    return np.asarray(evecs[..., ::-1]), np.asarray(evals[..., ::-1])
+
+
+def st_recon(vol: np.ndarray, sigma: float, rho: float):
+    """Structure-tensor reconstruction: Gaussian pre-smooth (sigma), Scharr
+    gradients, outer products, Gaussian post-smooth (rho), eigen-
+    decomposition.  (reference: src/structens.jl:40-88)
+
+    Returns (eigvec [X,Y,Z,3,3], eigval [X,Y,Z,3]), eigenvalues ascending.
+    """
+    vol = jnp.asarray(np.asarray(vol, np.float32))
+    evecs, evals = _st_kernel(vol, float(sigma), float(rho))
+    return np.asarray(evecs), np.asarray(evals)

@@ -1,0 +1,128 @@
+"""RUMBA-SD tests: Bessel ratio, kernel, and fODF recovery on phantoms."""
+
+import numpy as np
+import pytest
+
+import fibers_tpu as ft
+from fibers_tpu.models.rumba import (_angular_neighbors, _build_kernel,
+                                     besseli_ratio, tensor_model)
+
+from phantom import make_phantom
+
+
+class TestPieces:
+    def test_besseli_ratio_against_scipy(self):
+        try:
+            from scipy.special import iv
+        except ImportError:
+            pytest.skip("scipy unavailable")
+        z = np.linspace(0.5, 50, 40)
+        ours = besseli_ratio(1, z)
+        exact = iv(1, z) / iv(0, z)
+        # the truncated Perron fraction (same depth as the reference)
+        # carries ~1% error at small z
+        assert np.allclose(ours, exact, rtol=1.5e-2)
+        assert np.allclose(ours[z > 20], exact[z > 20], rtol=1e-3)
+
+    def test_besseli_ratio_limits(self):
+        # ratio -> 1 for large z, -> z/2 for small z (nu=1)
+        assert abs(besseli_ratio(1, 200.0) - 1.0) < 0.01
+        assert abs(besseli_ratio(1, 0.01) - 0.005) < 1e-4
+
+    def test_tensor_model_isotropy(self):
+        b = np.array([0.0, 1000.0, 1000.0])
+        g = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float64)
+        s = tensor_model(0.3, 0.7, [1e-3] * 3, b, g, 1.0)
+        assert np.isclose(s[0], 1.0)
+        assert np.isclose(s[1], s[2])
+
+    def test_kernel_shape_and_b0(self):
+        dwi, mask, _, _ = make_phantom(shape=(2, 2, 2), ndir=30)
+        k, ib0 = _build_kernel(dwi.bval, dwi.bvec, ft.sphere_362,
+                               1.7e-3, 0.2e-3, 3.0e-3, 0.8e-4)
+        assert k.shape == (31, 183)       # ndir nonb0 + 1, nvert + 2
+        assert np.allclose(k[0], 1.0)     # b=0 row: unit signal
+        # CSF column decays faster than GM column
+        assert k[1:, 181].mean() < k[1:, 182].mean()
+
+    def test_angular_neighbors_symmetric(self):
+        nbr, ok = _angular_neighbors(ft.sphere_362)
+        assert nbr.shape[0] == 181
+        deg = ok.sum(axis=1)
+        assert deg.min() >= 1
+        for v in range(0, 181, 37):
+            for w in nbr[v][ok[v]]:
+                assert v in nbr[w][ok[w]]
+
+
+class TestRumbaRec:
+    def test_single_fiber_recovery(self):
+        dwi, mask, axes, _ = make_phantom(shape=(4, 4, 4), ndir=60,
+                                          bmax=2000.0, two_shell=True)
+        rec = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=80)
+        m = mask.vol > 0
+
+        # primary peak direction close to the true axis
+        v1 = rec.peak[0].vol[m]
+        norms = np.linalg.norm(v1, axis=1)
+        assert (norms > 0).all()
+        ax = axes[m]
+        dots = np.abs((v1 * ax).sum(axis=1)) / norms
+        angs = np.degrees(np.arccos(np.clip(dots, 0, 1)))
+        assert np.median(angs) < 8.0
+        assert angs.max() < 15.0
+
+        # volume fractions form a distribution
+        total = (rec.fodf.vol[m].sum(axis=-1))
+        assert np.allclose(total, 1.0, atol=1e-3)
+        # noiseless single-fiber phantom: little isotropic contamination
+        assert (rec.fcsf.vol[m] + rec.fgm.vol[m]).mean() < 0.2
+
+        # GFA in (0, 1]; SNR summary clamped to [8, 80]
+        gfa = rec.gfa.vol[m]
+        assert (gfa > 0).all() and (gfa <= 1.0 + 1e-5).all()
+        assert 8.0 <= rec.snr_mean <= 80.0
+        assert np.isfinite(rec.snr_std)
+
+    def test_csf_voxel_goes_isotropic(self):
+        from phantom import dwi_signal, fibonacci_dirs
+        shape = (3, 3, 3)
+        ndir = 30
+        dirs = fibonacci_dirs(ndir)
+        bval = np.concatenate([[0.0], np.full(ndir, 1000.0)]).astype(
+            np.float32)
+        bvec = np.concatenate([np.zeros((1, 3), np.float32), dirs])
+        d_csf = 3.0e-3 * np.eye(3)
+        sig = dwi_signal(d_csf, bval, bvec)
+        vol = np.broadcast_to(sig, shape + sig.shape).copy()
+        dwi = ft.MRI(vol=vol)
+        dwi.vox2ras0 = np.eye(4, dtype=np.float32)
+        dwi.volsize = np.asarray(shape)
+        dwi.width, dwi.height, dwi.depth = shape
+        dwi.nframes = len(bval)
+        dwi.set_geometry()
+        dwi.bval, dwi.bvec = bval, bvec
+        mask = ft.MRI.like(dwi, 1, np.float32)
+        mask.vol = np.ones(shape, np.float32)
+
+        rec = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=80)
+        # CSF fraction dominates in free-water voxels
+        assert rec.fcsf.vol[1, 1, 1] > 0.5
+
+    def test_no_tv_runs(self):
+        dwi, mask, _, _ = make_phantom(shape=(3, 3, 3), ndir=30)
+        rec = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=10, use_tv=False)
+        assert np.isfinite(rec.fodf.vol).all()
+
+    def test_write_roundtrip(self, tmp_path):
+        import os
+        dwi, mask, _, _ = make_phantom(shape=(3, 3, 3), ndir=30)
+        rec = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=5)
+        base = str(tmp_path / "rumba")
+        ft.rumba_write(rec, base)
+        for f in ("fodf", "fgm", "fcsf", "peak1", "peak5", "gfa", "var"):
+            assert os.path.isfile(f"{base}_{f}.nii.gz"), f
+        assert os.path.isfile(f"{base}_snr_mean.txt")
+        back = ft.mri_read_struct(base, ft.RUMBASD)
+        assert np.allclose(back.fodf.vol, rec.fodf.vol, atol=1e-6)
+        assert abs(back.snr_mean - rec.snr_mean) < 1e-4
