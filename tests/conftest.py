@@ -40,4 +40,8 @@ def tmp_mri(tmp_path, rng):
     bvec = rng.standard_normal((9, 3)).astype(np.float32)
     bvec[0] = 0
     mri.bvec = ft.normalize_bvecs(bvec)
+    mri.volsize = np.asarray(vol.shape[:3])
+    mri.width, mri.height, mri.depth = vol.shape[:3]
+    mri.nframes = vol.shape[3]
+    mri.set_geometry()
     return mri, tmp_path
