@@ -1,0 +1,136 @@
+"""North-star benchmark: whole-brain HCP-resolution DTI + GQI fit plus
+1M-seed deterministic tractography, end to end (BASELINE.md).
+
+Prints ONE JSON line: {"metric": ..., "value": ..., "unit": ...,
+"vs_baseline": ...}.  vs_baseline is the 60 s target budget divided by the
+measured wall time (>1 means beating the target).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+# Persistent compilation cache: compile once per shape bucket across runs
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("FIBERS_JAX_CACHE", "/tmp/fibers_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def make_brain(shape=(140, 140, 92), ndir=198, seed=0):
+    """Synthetic HCP-scale DWI: ellipsoidal brain mask, smooth orientation
+    field, two b-shells (matching the tutorial scan's scale)."""
+    rng = np.random.default_rng(seed)
+    import fibers_tpu as ft
+
+    nx, ny, nz = shape
+    x, y, z = np.meshgrid(
+        np.linspace(-1, 1, nx), np.linspace(-1, 1, ny),
+        np.linspace(-1, 1, nz), indexing="ij")
+    mask = (x ** 2 / 0.81 + y ** 2 / 0.81 + z ** 2 / 0.92) < 1.0
+
+    nb0 = 12
+    nsh = (ndir - nb0) // 2
+    i = np.arange(nsh)
+    phi = np.pi * (3.0 - np.sqrt(5.0)) * i
+    zz = 1 - 2 * (i + 0.5) / nsh
+    r = np.sqrt(1 - zz * zz)
+    dirs = np.stack([r * np.cos(phi), r * np.sin(phi), zz], axis=1)
+    bval = np.concatenate([np.zeros(nb0), np.full(nsh, 1500.0),
+                           np.full(ndir - nb0 - nsh, 3000.0)]).astype(
+                               np.float32)
+    bvec = np.concatenate([np.zeros((nb0, 3)), dirs,
+                           dirs[:ndir - nb0 - nsh]]).astype(np.float32)
+
+    # Smooth orientation field: angles vary slowly across the volume
+    th = 0.8 * x + 1.3 * y
+    ph = 1.1 * z + 0.5 * x
+    ax = np.stack([np.cos(ph) * np.cos(th), np.cos(ph) * np.sin(th),
+                   np.sin(ph)], axis=-1).astype(np.float32)
+
+    # DWI signal from a single tensor per voxel, vectorized
+    lp, lt = 1.7e-3, 0.2e-3
+    dots = np.einsum("xyzi,vi->xyzv", ax, bvec)
+    quad = lt + (lp - lt) * dots ** 2
+    s0 = 100.0
+    vol = (s0 * np.exp(-bval[None, None, None, :] * quad)).astype(np.float32)
+    vol *= mask[..., None]
+    noise = rng.standard_normal(vol.shape).astype(np.float32) * 2.0
+    vol = np.abs(vol + noise * mask[..., None])
+
+    dwi = ft.MRI(vol=vol)
+    dwi.vox2ras0 = np.diag([1.5, 1.5, 1.5, 1.0]).astype(np.float32)
+    dwi.volsize = np.asarray(shape)
+    dwi.width, dwi.height, dwi.depth = shape
+    dwi.nframes = ndir
+    dwi.set_geometry()
+    dwi.bval, dwi.bvec = bval, bvec
+
+    maskm = ft.MRI.like(dwi, 1, np.float32)
+    maskm.vol = mask.astype(np.float32)
+    return dwi, maskm, ax
+
+
+def main():
+    import fibers_tpu as ft
+
+    small = "--small" in sys.argv
+    shape = (48, 48, 32) if small else (140, 140, 92)
+    ndir = 34 if small else 198
+    target_seeds = 20_000 if small else 1_000_000
+
+    build_t0 = time.time()
+    dwi, mask, ax = make_brain(shape=shape, ndir=ndir)
+    nmask = int((mask.vol > 0).sum())
+    sys.stderr.write(f"phantom built in {time.time() - build_t0:.1f}s, "
+                     f"{nmask} masked voxels\n")
+
+    t0 = time.time()
+
+    dti = ft.dti_fit(dwi, mask)
+    gqi = ft.gqi_rec(dwi, mask, ft.sphere_642)
+    t_fit = time.time() - t0
+
+    # Seed mask subsampled so nsub=3 jitters give ~target_seeds streams
+    seed = ft.MRI.like(mask, 1, np.float32)
+    nseed_vox = max(1, target_seeds // 3)
+    idx = np.flatnonzero(mask.vol > 0)
+    pick = idx[np.linspace(0, len(idx) - 1, min(nseed_vox, len(idx)),
+                           dtype=np.int64)]
+    sv = np.zeros(mask.vol.size, np.float32)
+    sv[pick] = 1
+    seed.vol = sv.reshape(mask.vol.shape)
+
+    t1 = time.time()
+    tract = ft.stream(gqi.peak[0], fa=dti.fa, mask=mask, seed=seed, nsub=3)
+    t_stream = time.time() - t1
+
+    t2 = time.time()
+    with tempfile.TemporaryDirectory() as d:
+        ft.trk_write(tract, os.path.join(d, "bench.trk"))
+    t_write = time.time() - t2
+
+    total = time.time() - t0
+    nstreams = tract.n_count
+
+    sys.stderr.write(
+        f"fit={t_fit:.1f}s stream={t_stream:.1f}s write={t_write:.1f}s "
+        f"total={total:.1f}s streams={nstreams} "
+        f"voxfits/s={2 * nmask / max(t_fit, 1e-9):.0f}\n")
+
+    target = 60.0 if not small else 60.0 * (20_000 / 1_000_000)
+    print(json.dumps({
+        "metric": "hcp_dti_gqi_plus_1Mseed_tractography_e2e",
+        "value": round(total, 3),
+        "unit": "seconds",
+        "vs_baseline": round(target / total, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
