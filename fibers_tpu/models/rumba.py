@@ -12,6 +12,8 @@ Canales-Rodriguez et al. (2015), PLoS ONE 10(10):e0138910.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from functools import partial
 from typing import List
@@ -240,8 +242,17 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
               lam_perp: float = 0.2e-3, lam_csf: float = 3.0e-3,
               lam_gm: float = 0.8e-4, ncoils: int = 1,
               coil_combine: str = "SMF-SENSE", ipat_factor: int = 1,
-              use_tv: bool = True, verbose: bool = False) -> RUMBASD:
-    """RUMBA-SD reconstruction of DWIs.  (reference: src/rusd.jl:419-636)"""
+              use_tv: bool = True, verbose: bool = False,
+              checkpoint_path: str = None,
+              checkpoint_every: int = 0) -> RUMBASD:
+    """RUMBA-SD reconstruction of DWIs.  (reference: src/rusd.jl:419-636)
+
+    With `checkpoint_path` set, the iteration state (fodf, sigma^2, lambda)
+    is saved every `checkpoint_every` iterations and the fit resumes from
+    the newest checkpoint when restarted — the long-iterative-fit analogue
+    of the reference's field-per-file resume convention (the reference has
+    no in-loop checkpointing; its 600-iteration fits restart from scratch).
+    """
     if dwi.bval is None or len(dwi.bval) == 0:
         raise ValueError("Missing b-value table from input DWI structure")
     if dwi.bvec is None or np.asarray(dwi.bvec).size == 0:
@@ -301,8 +312,27 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     kernel_j = jnp.asarray(kernel)
     idx_j = jnp.asarray(idx)
 
-    snr = None
-    for it in range(niter):
+    # Resume from checkpoint if present
+    it_start = 0
+    if checkpoint_path is not None and os.path.isfile(checkpoint_path):
+        with np.load(checkpoint_path) as ck:
+            if (int(ck["nmask"]) == nmask and int(ck["ncomp"]) == ncomp
+                    and int(ck["niter"]) == niter):
+                fodf = jnp.asarray(ck["fodf"])
+                sig2 = jnp.asarray(ck["sig2"])
+                lam_flat = jnp.asarray(ck["lam_flat"])
+                dodf = jnp.dot(fodf, kernel_j.T,
+                               precision=jax.lax.Precision.HIGHEST)
+                dodf_sig = (signal_j * dodf) / sig2
+                it_start = int(ck["iteration"])
+                print(f"Resuming RUMBA-SD from iteration {it_start} "
+                      f"({checkpoint_path})")
+            else:
+                print(f"WARNING: checkpoint {checkpoint_path} does not "
+                      "match this problem; starting fresh")
+
+    snr = 1.0 / jnp.sqrt(sig2)
+    for it in range(it_start, niter):
         fodf, dodf, dodf_sig, sig2, lam_flat, snr = _rumba_step(
             fodf, dodf, dodf_sig, sig2, lam_flat, signal_j, kernel_j,
             idx_j, n_order, ipat_factor, use_tv, shape3, nxyz)
@@ -311,6 +341,13 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             ss = float(snr.std(ddof=1)) if nmask > 1 else 0.0
             print(f"Iteration {it + 1} of {niter}")
             print(f"Estimated mean SNR (s0/sigma) = {sm} (+-) {ss}")
+        if (checkpoint_path is not None and checkpoint_every > 0
+                and (it + 1) % checkpoint_every == 0 and it + 1 < niter):
+            tmp = checkpoint_path + ".tmp.npz"
+            np.savez(tmp, fodf=np.asarray(fodf), sig2=np.asarray(sig2),
+                     lam_flat=np.asarray(lam_flat), iteration=it + 1,
+                     nmask=nmask, ncomp=ncomp, niter=niter)
+            os.replace(tmp, checkpoint_path)
 
     snr_np = np.asarray(snr)[:, 0]
     snr_mean = float(snr_np.mean())

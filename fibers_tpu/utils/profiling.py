@@ -1,0 +1,71 @@
+"""Lightweight stage profiling + optional XLA trace capture.
+
+The reference's only instrumentation is ad-hoc @time prints inside the
+RUMBA loop (reference: src/rusd.jl:282,542,545).  Here: a context-manager
+stage timer with a summary table, and a wrapper around jax.profiler for
+device traces.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+from typing import Dict, List, Optional
+
+__all__ = ["StageTimer", "trace"]
+
+
+class StageTimer:
+    """Accumulates wall-clock per named stage.
+
+    >>> t = StageTimer()
+    >>> with t("gather"): ...
+    >>> with t("fit"): ...
+    >>> print(t.summary())
+    """
+
+    def __init__(self):
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+        self.order: List[str] = []
+
+    @contextmanager
+    def __call__(self, stage: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            if stage not in self.totals:
+                self.totals[stage] = 0.0
+                self.counts[stage] = 0
+                self.order.append(stage)
+            self.totals[stage] += dt
+            self.counts[stage] += 1
+
+    def summary(self) -> str:
+        total = sum(self.totals.values())
+        lines = [f"{'stage':<24}{'calls':>6}{'total s':>10}{'%':>7}"]
+        for s in self.order:
+            pct = 100.0 * self.totals[s] / total if total else 0.0
+            lines.append(f"{s:<24}{self.counts[s]:>6}"
+                         f"{self.totals[s]:>10.3f}{pct:>6.1f}%")
+        lines.append(f"{'TOTAL':<24}{'':>6}{total:>10.3f}")
+        return "\n".join(lines)
+
+
+@contextmanager
+def trace(logdir: Optional[str] = None):
+    """Capture an XLA device trace viewable in TensorBoard/Perfetto.
+
+    No-op when `logdir` is None.
+    """
+    if logdir is None:
+        yield
+        return
+    import jax
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

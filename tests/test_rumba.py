@@ -126,3 +126,37 @@ class TestRumbaRec:
         back = ft.mri_read_struct(base, ft.RUMBASD)
         assert np.allclose(back.fodf.vol, rec.fodf.vol, atol=1e-6)
         assert abs(back.snr_mean - rec.snr_mean) < 1e-4
+
+
+class TestCheckpoint:
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        import numpy as np
+        from phantom import make_phantom
+        dwi, mask, _, _ = make_phantom(shape=(3, 3, 3), ndir=30)
+        full = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=16)
+
+        ck = str(tmp_path / "rumba.ckpt.npz")
+        # run the first half, checkpointing
+        ft.rumba_rec(dwi, mask, ft.sphere_362, niter=8,
+                     checkpoint_path=ck, checkpoint_every=4)
+        # restamp the checkpoint for the 16-iteration schedule and resume
+        with np.load(ck) as z:
+            state = dict(z)
+        state["niter"] = 16
+        ck2 = str(tmp_path / "rumba16.ckpt.npz")
+        np.savez(ck2, **state)
+        resumed = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=16,
+                               checkpoint_path=ck2)
+        assert np.abs(resumed.fodf.vol - full.fodf.vol).max() < 1e-6
+
+    def test_mismatched_checkpoint_ignored(self, tmp_path):
+        import numpy as np
+        from phantom import make_phantom
+        dwi, mask, _, _ = make_phantom(shape=(3, 3, 3), ndir=30)
+        ck = str(tmp_path / "bad.npz")
+        np.savez(ck, fodf=np.zeros((5, 5)), sig2=np.zeros((5, 1)),
+                 lam_flat=np.zeros(27), iteration=3, nmask=5, ncomp=5,
+                 niter=4)
+        rec = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4,
+                           checkpoint_path=ck)
+        assert np.isfinite(rec.fodf.vol).all()
