@@ -372,21 +372,25 @@ def _trk_write_packed(tr: Tract, outfile: str) -> bool:
     total = int(npts.sum())
     vsz = np.asarray(tr.voxel_size, np.float32)
 
+    # Record stream = [count_i, xyz...xyz] per line.  Build as one flat f32
+    # buffer: a boolean mask marks the count slots (bitcast int32); the
+    # complement takes the mm-converted points in order — two streaming
+    # passes at memory bandwidth, no giant index arithmetic.
     out = np.empty(n + 3 * total, np.float32)
-    rec_off = np.concatenate([[0], np.cumsum(1 + 3 * npts)])[:-1]
-    out.view(np.int32)[rec_off] = npts.astype(np.int32)
+    rec_off = np.empty(n, np.int64)
+    np.cumsum(1 + 3 * npts[:-1], out=rec_off[1:]) if n > 1 else None
+    rec_off[0] = 0
+    is_count = np.zeros(n + 3 * total, bool)
+    is_count[rec_off] = True
+    out.view(np.int32)[is_count] = npts.astype(np.int32)
 
-    # Destination indices for the xyz payload of each line
-    pt_dst = np.repeat(rec_off + 1, 3 * npts) + (
-        np.arange(3 * total) - np.repeat(np.cumsum(3 * npts) - 3 * npts,
-                                         3 * npts))
-    pts_mm = (tr.packed_xyz + 0.5) * vsz[None, :]
-    out[pt_dst] = pts_mm.reshape(-1)
+    pts_mm = (tr.packed_xyz + np.float32(0.5)) * vsz[None, :]
+    out[~is_count] = pts_mm.reshape(-1)
 
     header = _trk_header_bytes(tr)
-    with open(outfile, "wb") as f:
+    with open(outfile, "wb", buffering=1 << 22) as f:
         f.write(header)
-        f.write(out.astype("<f4").tobytes())
+        out.astype("<f4", copy=False).tofile(f)
     return len(header) != 1000
 
 

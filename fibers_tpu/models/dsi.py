@@ -182,11 +182,12 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         batch = pad_rows(signals[lo:hi], chunk)
         pdf, odf, vecs, qa, odfmean, valid = _dsi_kernel(
             jnp.asarray(batch), *args, nfft=nfft)
+        from ..ops.transfer import to_host
         m = hi - lo
-        pdf_all[lo:hi] = np.asarray(pdf)[:m]
-        odf_all[lo:hi] = np.asarray(odf)[:m]
-        vecs_all[lo:hi] = np.asarray(vecs)[:m]
-        qa_all[lo:hi] = np.asarray(qa)[:m]
+        pdf_all[lo:hi] = to_host(pdf)[:m]
+        odf_all[lo:hi] = to_host(odf)[:m]
+        vecs_all[lo:hi] = to_host(vecs)[:m]
+        qa_all[lo:hi] = to_host(qa)[:m]
         odfmax = max(odfmax, float(np.asarray(odfmean)[:m].max()))
 
     # Global QA normalization (reference: src/dsi.jl:263-267)

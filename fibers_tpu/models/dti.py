@@ -208,7 +208,8 @@ def dti_fit_ls(dwi: MRI, mask: MRI) -> DTI:
     ib0 = (dwi.bval == dwi.bval.min()).astype(np.float32)
 
     out = _dti_kernel(jnp.asarray(signals), jnp.asarray(A), jnp.asarray(ib0))
-    out = {k: np.asarray(v)[:len(idx)] for k, v in out.items()}
+    from ..ops.transfer import to_host
+    out = {k: to_host(v)[:len(idx)] for k, v in out.items()}
 
     shape3 = mask.vol.shape[:3]
 

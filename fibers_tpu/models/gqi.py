@@ -51,6 +51,29 @@ def gqi_design(bval: np.ndarray, bvec: np.ndarray, odf_dirs: ODF,
 
 
 @partial(jax.jit, static_argnames=("npeak",))
+def _gqi_kernel_pallas(signals, A, verts_first, nbr, nbr_valid, npeak=NPEAK):
+    """Pallas-fused variant: GEMM + NMS + stats in one HBM pass, then
+    top-k/QA finishing on the fused outputs."""
+    from ..ops.pallas.gqi_fused import gqi_fused
+
+    odf, peakmask, stats = gqi_fused(
+        signals, A.T, nbr, nbr_valid.astype(jnp.int32))
+    odfmin, odfmean, validf = stats[:, 0], stats[:, 1], stats[:, 2]
+    valid = validf > 0
+
+    vals, idx, pvalid = top_peaks(odf, peakmask > 0.5, npeak)
+    pvalid = pvalid & valid[:, None]
+
+    vecs = jnp.where(pvalid[..., None], verts_first[idx], 0.0)
+    qa = jnp.where(pvalid, vals - odfmin[:, None], 0.0)
+    odfmax = jnp.where(valid, odfmean, 0.0).max()
+    qa = qa / jnp.maximum(odfmax, 1e-30)
+
+    odf = jnp.where(valid[:, None], odf, 0.0)
+    return odf, vecs, qa, valid
+
+
+@partial(jax.jit, static_argnames=("npeak",))
 def _gqi_kernel(signals, A, verts_first, nbr, nbr_valid, npeak=NPEAK):
     """signals [N, nvol] -> odf [N, nvert], peak vecs [N, npeak, 3],
     qa [N, npeak] (globally normalized), valid [N]."""
@@ -104,7 +127,7 @@ def find_peaks(o, odf_dirs: ODF):
 
 
 def gqi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
-            sigma: float = 1.25) -> GQI:
+            sigma: float = 1.25, impl: str = "auto") -> GQI:
     """GQI reconstruction of DWIs.  (reference: src/gqi.jl:109-171)
 
     Returns a `GQI` structure with half-sphere ODF amplitudes, the top-3
@@ -132,14 +155,18 @@ def gqi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     n_pad = padded_size(len(idx))
     signals = pad_rows(signals, n_pad)
 
-    odf_b, vecs_b, qa_b, valid_b = _gqi_kernel(
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    kernel = _gqi_kernel_pallas if impl == "pallas" else _gqi_kernel
+    odf_b, vecs_b, qa_b, valid_b = kernel(
         jnp.asarray(signals), jnp.asarray(A), jnp.asarray(verts_first),
         jnp.asarray(nbr), jnp.asarray(nbr_ok))
 
+    from ..ops.transfer import to_host
     n = len(idx)
-    odf_b = np.asarray(odf_b)[:n]
-    vecs_b = np.asarray(vecs_b)[:n]
-    qa_b = np.asarray(qa_b)[:n]
+    odf_b = to_host(odf_b)[:n]
+    vecs_b = to_host(vecs_b)[:n]
+    qa_b = to_host(qa_b)[:n]
 
     shape3 = mask.vol.shape[:3]
 

@@ -354,7 +354,8 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     snr_std = float(snr_np.std(ddof=1)) if nmask > 1 else 0.0
 
     # Energy preservation (reference: src/rusd.jl:560)
-    fodf = np.asarray(fodf)
+    from ..ops.transfer import to_host
+    fodf = to_host(fodf)
     fodf = fodf / (fodf.sum(axis=1, keepdims=True) + 1e-7)
 
     fodf_wm = fodf[:, :nvert]
@@ -375,7 +376,7 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     with np.errstate(invalid="ignore", divide="ignore"):
         gfa_v = np.where(rms > 0, std / rms, 0.0)
 
-    vecs = np.asarray(_rumba_peaks_kernel(
+    vecs = to_host(_rumba_peaks_kernel(
         jnp.asarray(fodf_full.astype(np.float32)),
         jnp.asarray(f_iso_v.astype(np.float32)),
         jnp.asarray(half_verts), jnp.asarray(nbr), jnp.asarray(nbr_ok),

@@ -162,8 +162,60 @@ def propagate_chunk(seeds, subs, mask_flat, ovecs_flat, shape3, nsteps,
 
 
 # ------------------------------------------------------------------ #
-# Host assembly
+# Device-side compaction + host assembly
 # ------------------------------------------------------------------ #
+
+@partial(jax.jit, static_argnames=("cap",))
+def _compact(fwd_pts, bwd_pts, fwd_n, bwd_n, keep, line_off, cap):
+    """Scatter saved points into their final ragged line layout on device.
+
+    Lines are reversed-forward-prefix then backward-prefix (the reference's
+    prepend/append order).  Points of dropped/invalid slots scatter out of
+    bounds and are dropped, so only `total` real points ever cross the
+    device->host link.
+    """
+    nsteps, s = fwd_pts.shape[:2]
+    t_idx = jnp.arange(nsteps, dtype=jnp.int32)[:, None]
+
+    oob = jnp.int32(cap)
+    dst_f = jnp.where((t_idx < fwd_n[None, :]) & keep[None, :],
+                      line_off[None, :] + fwd_n[None, :] - 1 - t_idx, oob)
+    dst_b = jnp.where((t_idx < bwd_n[None, :]) & keep[None, :],
+                      line_off[None, :] + fwd_n[None, :] + t_idx, oob)
+
+    out = jnp.zeros((cap, 3), fwd_pts.dtype)
+    out = out.at[dst_f.reshape(-1)].set(
+        fwd_pts.reshape(-1, 3), mode="drop", unique_indices=True)
+    out = out.at[dst_b.reshape(-1)].set(
+        bwd_pts.reshape(-1, 3), mode="drop", unique_indices=True)
+    return out
+
+
+def _assemble_device(fwd_pts, fwd_n_dev, bwd_n_dev, bwd_pts, len_min):
+    """Count-fetch + device compaction + minimal transfer.
+
+    Returns (flat_pts [total, 3] on host, npts [nkept])."""
+    fwd_n = np.asarray(fwd_n_dev)
+    bwd_n = np.asarray(bwd_n_dev)
+    tot = fwd_n + bwd_n
+    keep = tot >= len_min
+    if not keep.any():
+        return np.zeros((0, 3), np.float32), np.zeros(0, np.int32)
+
+    npts = tot[keep]
+    total = int(npts.sum())
+    # line offsets for ALL streams (dropped streams get arbitrary offsets
+    # but scatter OOB via the keep mask)
+    off_all = np.zeros(len(tot), np.int64)
+    off_all[keep] = np.concatenate([[0], np.cumsum(npts)[:-1]])
+
+    cap = max(1 << 16, 1 << int(np.ceil(np.log2(max(total, 1)))))
+    out = _compact(fwd_pts, bwd_pts, fwd_n_dev, bwd_n_dev,
+                   jnp.asarray(keep), jnp.asarray(off_all, jnp.int32), cap)
+
+    from ..ops.transfer import to_host
+    flat = to_host(out[:total])
+    return flat, npts.astype(np.int32)
 
 def _assemble(fwd_pts, fwd_n, bwd_pts, bwd_n, len_min):
     """Vectorized ragged assembly: reversed forward prefix + backward prefix
@@ -176,11 +228,12 @@ def _assemble(fwd_pts, fwd_n, bwd_pts, bwd_n, len_min):
     if not keep.any():
         return np.zeros((0, 3), np.float32), np.zeros(0, np.int32)
 
+    from ..ops.transfer import to_host
     fwd_n = fwd_n[keep]
     bwd_n = bwd_n[keep]
     # [T, S, 3] -> [S, T, 3] for kept streams
-    fwd_pts = np.ascontiguousarray(np.asarray(fwd_pts).transpose(1, 0, 2)[keep])
-    bwd_pts = np.ascontiguousarray(np.asarray(bwd_pts).transpose(1, 0, 2)[keep])
+    fwd_pts = np.ascontiguousarray(to_host(fwd_pts).transpose(1, 0, 2)[keep])
+    bwd_pts = np.ascontiguousarray(to_host(bwd_pts).transpose(1, 0, 2)[keep])
 
     npts = fwd_n + bwd_n
     offsets = np.concatenate([[0], np.cumsum(npts)])
@@ -354,11 +407,21 @@ def stream(ovec: Union[MRI, List[MRI]], *, f=None, fa: Optional[MRI] = None,
     flat_parts, npts_parts = [], []
     for lo in range(0, len(seeds_all), cfg.chunk):
         hi = min(lo + cfg.chunk, len(seeds_all))
+        seeds_c, subs_c = seeds_all[lo:hi], subs_all[lo:hi]
+        if hi - lo < cfg.chunk and len(seeds_all) > cfg.chunk:
+            # pad the last chunk with out-of-bounds seeds (immediately
+            # inactive, filtered by len_min) to keep one compiled shape
+            padn = cfg.chunk - (hi - lo)
+            seeds_c = np.concatenate(
+                [seeds_c, np.full((padn, 3), -10.0, np.float32)])
+            subs_c = np.concatenate(
+                [subs_c, np.zeros((padn, 3), np.float32)])
         fwd_pts, fwd_n, bwd_pts, bwd_n = propagate_chunk(
-            seeds_all[lo:hi], subs_all[lo:hi], mask_flat, ovecs_flat,
+            seeds_c, subs_c, mask_flat, ovecs_flat,
             shape3, nsteps, float(step_size), cosang_thresh,
             float(smooth_coeff), int(len_max))
-        flat, npts = _assemble(fwd_pts, fwd_n, bwd_pts, bwd_n, cfg.len_min)
+        flat, npts = _assemble_device(fwd_pts, fwd_n, bwd_n, bwd_pts,
+                                      cfg.len_min)
         flat_parts.append(flat)
         npts_parts.append(npts)
 
