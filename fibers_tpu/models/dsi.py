@@ -126,7 +126,8 @@ def _dsi_kernel(signals, iq_flat, hann, wmat, verts_first, nbr, nbr_valid,
 
     pdf = p[:, iq_flat]
 
-    odf = jnp.dot(p, wmat, preferred_element_type=jnp.float32)
+    odf = jnp.dot(p, wmat, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     odfmin = odf.min(axis=1)
 
     is_peak = peak_mask(odf, nbr, nbr_valid)

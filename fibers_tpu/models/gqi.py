@@ -10,6 +10,8 @@ Yeh et al. (2010), IEEE TMI 29(9):1626-1635.
 
 from __future__ import annotations
 
+import sys
+
 from dataclasses import dataclass
 from functools import partial
 from typing import List
@@ -51,13 +53,13 @@ def gqi_design(bval: np.ndarray, bvec: np.ndarray, odf_dirs: ODF,
 
 
 @partial(jax.jit, static_argnames=("npeak",))
-def _gqi_kernel_pallas(signals, A, verts_first, nbr, nbr_valid, npeak=NPEAK):
+def _gqi_kernel_pallas(signals, A, verts_first, P, okmask, npeak=NPEAK):
     """Pallas-fused variant: GEMM + NMS + stats in one HBM pass, then
-    top-k/QA finishing on the fused outputs."""
+    top-k/QA finishing on the fused outputs.  P/okmask come from
+    `neighbor_permutations` (host-side)."""
     from ..ops.pallas.gqi_fused import gqi_fused
 
-    odf, peakmask, stats = gqi_fused(
-        signals, A.T, nbr, nbr_valid.astype(jnp.int32))
+    odf, peakmask, stats = gqi_fused(signals, A.T, P, okmask)
     odfmin, odfmean, validf = stats[:, 0], stats[:, 1], stats[:, 2]
     valid = validf > 0
 
@@ -80,7 +82,8 @@ def _gqi_kernel(signals, A, verts_first, nbr, nbr_valid, npeak=NPEAK):
     s = jnp.maximum(signals, 0.0)
     valid = s.max(axis=1) > 0
 
-    odf = jnp.dot(s, A.T, preferred_element_type=jnp.float32)
+    odf = jnp.dot(s, A.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
 
     odfmin = odf.min(axis=1)
 
@@ -142,6 +145,11 @@ def gqi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         from ..core import odf as _odf
         odf_dirs = _odf.sphere_642
 
+    import os as _os
+    import time as _time
+    _prof = _os.environ.get("FIBERS_PROFILE") == "1"
+    _t = _time.perf_counter
+
     nvert = odf_dirs.nvert_half
     A = gqi_design(np.asarray(dwi.bval, np.float32),
                    np.asarray(dwi.bvec, np.float32), odf_dirs, sigma)
@@ -150,23 +158,42 @@ def gqi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     _, verts_first, faces0 = half_sphere(odf_dirs)
     nbr, nbr_ok = build_neighbors(faces0, nvert)
 
+    _t0 = _t()
     idx = mask_indices(mask.vol)
     signals = gather_frames(dwi.vol, idx).astype(np.float32)
     n_pad = padded_size(len(idx))
     signals = pad_rows(signals, n_pad)
+    if _prof:
+        print(f"[gqi] gather: {_t() - _t0:.2f}s", file=sys.stderr)
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    kernel = _gqi_kernel_pallas if impl == "pallas" else _gqi_kernel
-    odf_b, vecs_b, qa_b, valid_b = kernel(
-        jnp.asarray(signals), jnp.asarray(A), jnp.asarray(verts_first),
-        jnp.asarray(nbr), jnp.asarray(nbr_ok))
+    if impl == "pallas":
+        from ..ops.pallas.gqi_fused import neighbor_permutations
+        P, okmask = neighbor_permutations(nbr, nbr_ok)
+        odf_b, vecs_b, qa_b, valid_b = _gqi_kernel_pallas(
+            jnp.asarray(signals), jnp.asarray(A), jnp.asarray(verts_first),
+            jnp.asarray(P), jnp.asarray(okmask))
+    else:
+        odf_b, vecs_b, qa_b, valid_b = _gqi_kernel(
+            jnp.asarray(signals), jnp.asarray(A), jnp.asarray(verts_first),
+            jnp.asarray(nbr), jnp.asarray(nbr_ok))
 
+    if _prof:
+        import jax as _jax
+        _t0 = _t()
+        _jax.block_until_ready(odf_b)
+        print(f"[gqi] kernel: {_t() - _t0:.2f}s", file=sys.stderr)
     from ..ops.transfer import to_host
+    _t0 = _t()
     n = len(idx)
     odf_b = to_host(odf_b)[:n]
     vecs_b = to_host(vecs_b)[:n]
     qa_b = to_host(qa_b)[:n]
+    if _prof:
+        print(f"[gqi] D2H ({odf_b.nbytes/1e6:.0f}MB odf): "
+              f"{_t() - _t0:.2f}s", file=sys.stderr)
+    _t0 = _t()
 
     shape3 = mask.vol.shape[:3]
 
@@ -182,6 +209,8 @@ def gqi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         qm.vol = scatter_frames(qa_b[:, ip], idx, shape3)
         qa.append(qm)
 
+    if _prof:
+        print(f"[gqi] scatter: {_t() - _t0:.2f}s", file=sys.stderr)
     return GQI(odf=odf, peak=peak, qa=qa)
 
 

@@ -5,8 +5,10 @@ peak NMS and per-voxel min/mean on the VPU — the ODF tile is written to HBM
 once and never re-read, where the unfused XLA path re-reads the [N, nvert]
 ODF for the NMS gather and reductions (~2.5 KB/voxel of extra HBM traffic).
 
-Falls back to the jnp path off-TPU (pallas_call with interpret=True under
-tests).
+Mosaic has no general in-kernel gather, so the neighbor lookup is phrased
+as `maxdeg` one-hot permutation matmuls (nvert x nvert, a few MB in VMEM):
+y_k = odf @ P_k gives each vertex its k-th face neighbor's amplitude, and
+the NMS max-reduces over k.  maxdeg is 6 on these tessellations.
 """
 
 from __future__ import annotations
@@ -19,19 +21,32 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gqi_fused", "TILE_N"]
+__all__ = ["gqi_fused", "neighbor_permutations", "TILE_N"]
 
 TILE_N = 256
 
 
-def _kernel(sig_ref, a_ref, nbr_ref, nbrok_ref, odf_ref, peakmask_ref,
+def neighbor_permutations(nbr: np.ndarray, nbr_ok: np.ndarray):
+    """[maxdeg, nvert, nvert] one-hot matrices P with P[k, nbr[v,k], v] = 1
+    for valid neighbors, plus a [1, nvert] row-mask of any-valid-k (unused
+    entries yield 0 through P and are masked to -inf via `okmask`)."""
+    nvert, maxdeg = nbr.shape
+    P = np.zeros((maxdeg, nvert, nvert), np.float32)
+    for k in range(maxdeg):
+        v = np.arange(nvert)
+        valid = nbr_ok[:, k]
+        P[k, nbr[valid, k], v[valid]] = 1.0
+    okmask = nbr_ok.T.astype(np.float32)          # [maxdeg, nvert]
+    return P, okmask
+
+
+def _kernel(sig_ref, a_ref, p_ref, ok_ref, odf_ref, peakmask_ref,
             stats_ref):
-    # signals tile [T, nvol] -> odf tile [T, nvert]
     s = jnp.maximum(sig_ref[:], 0.0)
-    odf = jnp.dot(s, a_ref[:], preferred_element_type=jnp.float32)
+    odf = jnp.dot(s, a_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     odf_ref[:] = odf
 
-    # stats: per-voxel min, mean, and signal validity
     odfmin = odf.min(axis=1)
     odfmean = odf.mean(axis=1)
     valid = (s.max(axis=1) > 0).astype(jnp.float32)
@@ -39,25 +54,29 @@ def _kernel(sig_ref, a_ref, nbr_ref, nbrok_ref, odf_ref, peakmask_ref,
     stats_ref[:, 1] = odfmean
     stats_ref[:, 2] = valid
 
-    # neighbor max via gather along the vertex axis
-    nbr = nbr_ref[:]                     # [nvert, maxdeg]
-    ok = nbrok_ref[:] != 0
-    gathered = odf[:, nbr]               # [T, nvert, maxdeg]
+    # neighbor max via one-hot matmuls over the maxdeg axis
+    maxdeg = p_ref.shape[0]
     neg = jnp.float32(-jnp.inf)
-    nbr_max = jnp.where(ok[None], gathered, neg).max(axis=2)
+    nbr_max = jnp.full_like(odf, neg)
+    for k in range(maxdeg):
+        yk = jnp.dot(odf, p_ref[k], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        yk = jnp.where(ok_ref[k][None, :] > 0, yk, neg)
+        nbr_max = jnp.maximum(nbr_max, yk)
     peakmask_ref[:] = (odf > nbr_max).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def gqi_fused(signals, A_t, nbr, nbr_ok_i, interpret=False):
-    """signals [N, nvol] (N multiple of TILE_N), A_t [nvol, nvert] (the
-    transposed system matrix), nbr/nbr_ok_i [nvert, maxdeg].
+def gqi_fused(signals, A_t, P, okmask, interpret=False):
+    """signals [N, nvol] (N multiple of TILE_N), A_t [nvol, nvert], P/okmask
+    from `neighbor_permutations`.
 
     Returns (odf [N, nvert], peak_mask [N, nvert] (0/1), stats [N, 3]
     (min, mean, valid)).
     """
     n, nvol = signals.shape
     nvert = A_t.shape[1]
+    maxdeg = P.shape[0]
     grid = (n // TILE_N,)
 
     out_shapes = (
@@ -73,9 +92,9 @@ def gqi_fused(signals, A_t, nbr, nbr_ok_i, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nvol, nvert), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nvert, nbr.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((maxdeg, nvert, nvert), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nvert, nbr.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((maxdeg, nvert), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -88,5 +107,5 @@ def gqi_fused(signals, A_t, nbr, nbr_ok_i, interpret=False):
         ),
         out_shape=out_shapes,
         interpret=interpret,
-    )(signals, A_t, nbr, nbr_ok_i)
+    )(signals, A_t, P, okmask)
     return odf, peakmask, stats
