@@ -55,6 +55,12 @@ def __getattr__(name):
                 "vol_to_rgb", "view_axes"):
         from .viz import show as _m
         return getattr(_m, name)
+    if name == "view":
+        from .viz.view import view as _v
+        return _v
+    if name in ("VoxelBatch", "prepare_batch"):
+        from .core import batch as _m
+        return getattr(_m, name)
     raise AttributeError(name)
 
 

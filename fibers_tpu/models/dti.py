@@ -186,28 +186,34 @@ def adc_fit(dwi: MRI, mask: MRI):
     return adc, s0
 
 
-def dti_fit(dwi: MRI, mask: MRI) -> DTI:
+def dti_fit(dwi: MRI, mask: MRI, batch=None) -> DTI:
     """Fit tensors to DWIs; returns a `DTI` structure.
-    (reference: src/dti.jl:221-232)"""
+    (reference: src/dti.jl:221-232)
+
+    `batch`: optional prepared `VoxelBatch` (see core.batch.prepare_batch)
+    to reuse one gather/upload across several fits."""
     if dwi.bval is None or len(dwi.bval) == 0:
         raise ValueError("Missing b-value table from input DWI structure")
     if dwi.bvec is None or np.asarray(dwi.bvec).size == 0:
         raise ValueError("Missing gradient table from input DWI structure")
-    return dti_fit_ls(dwi, mask)
+    return dti_fit_ls(dwi, mask, batch=batch)
 
 
-def dti_fit_ls(dwi: MRI, mask: MRI) -> DTI:
+def dti_fit_ls(dwi: MRI, mask: MRI, batch=None) -> DTI:
     """Least-squares tensor fit.
 
     Basser et al. (1994), J Magn Reson B 103(3):247-254.
     (reference: src/dti.jl:243-316)
     """
-    idx, signals = _prepare_batch(dwi, mask)
+    if batch is None:
+        from ..core.batch import prepare_batch
+        batch = prepare_batch(dwi, mask)
+    idx, signals = batch.idx, batch.signals
     A = _design_dti(np.asarray(dwi.bval, np.float32),
                     np.asarray(dwi.bvec, np.float32))
     ib0 = (dwi.bval == dwi.bval.min()).astype(np.float32)
 
-    out = _dti_kernel(jnp.asarray(signals), jnp.asarray(A), jnp.asarray(ib0))
+    out = _dti_kernel(signals, jnp.asarray(A), jnp.asarray(ib0))
     from ..ops.transfer import to_host
     out = {k: to_host(v)[:len(idx)] for k, v in out.items()}
 

@@ -130,7 +130,7 @@ def find_peaks(o, odf_dirs: ODF):
 
 
 def gqi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
-            sigma: float = 1.25, impl: str = "auto") -> GQI:
+            sigma: float = 1.25, impl: str = "auto", batch=None) -> GQI:
     """GQI reconstruction of DWIs.  (reference: src/gqi.jl:109-171)
 
     Returns a `GQI` structure with half-sphere ODF amplitudes, the top-3
@@ -159,10 +159,10 @@ def gqi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     nbr, nbr_ok = build_neighbors(faces0, nvert)
 
     _t0 = _t()
-    idx = mask_indices(mask.vol)
-    signals = gather_frames(dwi.vol, idx).astype(np.float32)
-    n_pad = padded_size(len(idx))
-    signals = pad_rows(signals, n_pad)
+    if batch is None:
+        from ..core.batch import prepare_batch
+        batch = prepare_batch(dwi, mask)
+    idx, signals = batch.idx, batch.signals
     if _prof:
         print(f"[gqi] gather: {_t() - _t0:.2f}s", file=sys.stderr)
 
@@ -172,11 +172,11 @@ def gqi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         from ..ops.pallas.gqi_fused import neighbor_permutations
         P, okmask = neighbor_permutations(nbr, nbr_ok)
         odf_b, vecs_b, qa_b, valid_b = _gqi_kernel_pallas(
-            jnp.asarray(signals), jnp.asarray(A), jnp.asarray(verts_first),
+            signals, jnp.asarray(A), jnp.asarray(verts_first),
             jnp.asarray(P), jnp.asarray(okmask))
     else:
         odf_b, vecs_b, qa_b, valid_b = _gqi_kernel(
-            jnp.asarray(signals), jnp.asarray(A), jnp.asarray(verts_first),
+            signals, jnp.asarray(A), jnp.asarray(verts_first),
             jnp.asarray(nbr), jnp.asarray(nbr_ok))
 
     if _prof:

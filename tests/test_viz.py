@@ -97,3 +97,16 @@ class TestInfoDisp:
         assert fig is not None
         import matplotlib.pyplot as plt
         plt.close(fig)
+
+
+class TestView:
+    def test_view_builds_figure(self, tmp_mri):
+        pytest.importorskip("matplotlib")
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        mri, _ = tmp_mri
+        mri.vol = np.abs(mri.vol)
+        fig = ft.view(mri, plane="a")
+        assert fig is not None
+        import matplotlib.pyplot as plt
+        plt.close(fig)
