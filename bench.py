@@ -122,6 +122,11 @@ def main():
             f"fit={t_fit:.1f}s stream={t_stream:.1f}s write={t_write:.1f}s "
             f"total={total:.1f}s streams={tract.n_count} "
             f"voxfits/s={2 * nmask / max(t_fit, 1e-9):.0f}\n")
+        from fibers_tpu.utils.profiling import (prof_enabled, prof_reset,
+                                                prof_summary)
+        if prof_enabled():
+            sys.stderr.write(prof_summary() + "\n")
+            prof_reset()
         return total
 
     # Two runs: the first includes one-time jit compiles (mitigated by the

@@ -1,0 +1,65 @@
+"""Lazily-materialized MRI volumes.
+
+Model fits produce their results as dense [Nmask, nframes] batches on
+device.  Materializing every result into a host volume eagerly costs a
+device->host transfer plus a full-volume scatter — prohibitive on tunneled
+TPU links for large frames counts (a whole-brain half-sphere ODF batch is
+~1 GB).  A `LazyVolume` keeps the batch on device; `MRI.vol` transparently
+materializes it into the usual [nx,ny,nz,nframes] host array the first
+time any host code touches it.  Users that never read the field (e.g. a
+pipeline consuming only peaks + FA) never pay the transfer.
+
+The reference has no analogue (all host memory); this is deferred
+evaluation at the framework boundary, not a semantic change — the
+materialized array is identical to what the eager path produced.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["LazyVolume"]
+
+
+class LazyVolume:
+    """Device-resident masked batch that scatters into a host volume on
+    demand.
+
+    values: [n_pad, nframes] (or [n_pad]) device array, rows beyond
+            len(idx) are padding.
+    idx:    flat voxel indices (C order) of the masked voxels.
+    shape3: the volume's spatial shape.
+    nframes: number of frames (1 -> 3D output volume).
+    """
+
+    def __init__(self, values, idx, shape3, nframes):
+        self._values = values
+        self._idx = np.asarray(idx)
+        self._shape3 = tuple(int(s) for s in shape3)
+        self._nframes = int(nframes)
+        self._host = None
+
+    @property
+    def shape(self):
+        if self._nframes == 1:
+            return self._shape3
+        return self._shape3 + (self._nframes,)
+
+    @property
+    def dtype(self):
+        return np.dtype(np.float32)
+
+    def materialize(self) -> np.ndarray:
+        """Fetch + scatter into the host volume (cached)."""
+        if self._host is None:
+            from ..ops.masked import scatter_frames
+            from ..ops.transfer import to_host
+
+            vals = to_host(self._values)[: len(self._idx)]
+            self._host = scatter_frames(vals, self._idx, self._shape3)
+            self._values = None  # release HBM
+        return self._host
+
+    def __array__(self, dtype=None):
+        a = self.materialize()
+        return a.astype(dtype) if dtype is not None else a

@@ -225,3 +225,24 @@ class MRI:
                                dtype=np.float32)
         self.tkrvox2ras = vox2ras_tkreg(self.volsize, self.volres).astype(
             np.float32)
+
+
+# `vol` is a transparent lazy property: model fits may assign a
+# core.lazy.LazyVolume (device-resident batch); the first host access
+# materializes it into the usual numpy volume.  Plain numpy assignments
+# behave exactly as a normal attribute.
+def _mri_get_vol(self):
+    v = self.__dict__.get("vol")
+    from .lazy import LazyVolume
+
+    if isinstance(v, LazyVolume):
+        v = v.materialize()
+        self.__dict__["vol"] = v
+    return v
+
+
+def _mri_set_vol(self, v):
+    self.__dict__["vol"] = v
+
+
+MRI.vol = property(_mri_get_vol, _mri_set_vol)

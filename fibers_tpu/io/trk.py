@@ -91,12 +91,14 @@ class Tract:
 
     def materialize(self) -> None:
         """Populate the per-streamline `xyz` list from packed storage
-        (views into the flat array, no copies)."""
-        if self.packed_xyz is None or self.xyz:
+        (views into the flat array, no copies).  Reading `.xyz` on a
+        packed Tract calls this automatically."""
+        if self.packed_xyz is None or self.__dict__.get("xyz"):
             return
         offsets = np.concatenate([[0], np.cumsum(np.asarray(self.npts))])
-        self.xyz = [self.packed_xyz[offsets[i]:offsets[i + 1]].T
-                    for i in range(self.n_count)]
+        self.__dict__["xyz"] = [
+            self.packed_xyz[offsets[i]:offsets[i + 1]].T
+            for i in range(self.n_count)]
         self.scalars = [np.zeros((0, int(n)), np.float32)
                         for n in np.asarray(self.npts)]
 
@@ -140,6 +142,24 @@ class Tract:
         tr.version = 2
         tr.hdr_size = 1000
         return tr
+
+
+# `xyz` transparently materializes the per-streamline list view when the
+# Tract holds packed storage, so user code written against the reference's
+# list-of-matrices API works on packed tractograms unchanged.
+def _tract_get_xyz(self):
+    v = self.__dict__.get("xyz")
+    if self.packed_xyz is not None and not v:
+        self.materialize()
+        v = self.__dict__["xyz"]
+    return v
+
+
+def _tract_set_xyz(self, v):
+    self.__dict__["xyz"] = v
+
+
+Tract.xyz = property(_tract_get_xyz, _tract_set_xyz)
 
 
 def str_add(tr: Tract, xyz, scalars=None, properties=None) -> None:
@@ -367,6 +387,8 @@ def _trk_write_packed(tr: Tract, outfile: str) -> bool:
     """Vectorized writer for packed tractograms with no scalars/properties:
     builds the record stream [npts_i, 3*npts_i floats]... as one flat f32
     buffer with bitcast int32 counts."""
+    from ..utils.profiling import prof
+
     npts = np.asarray(tr.npts, np.int64)
     n = len(npts)
     total = int(npts.sum())
@@ -376,28 +398,30 @@ def _trk_write_packed(tr: Tract, outfile: str) -> bool:
     # buffer: a boolean mask marks the count slots (bitcast int32); the
     # complement takes the mm-converted points in order — two streaming
     # passes at memory bandwidth, no giant index arithmetic.
-    out = np.empty(n + 3 * total, np.float32)
-    rec_off = np.empty(n, np.int64)
-    np.cumsum(1 + 3 * npts[:-1], out=rec_off[1:]) if n > 1 else None
-    rec_off[0] = 0
-    is_count = np.zeros(n + 3 * total, bool)
-    is_count[rec_off] = True
-    out.view(np.int32)[is_count] = npts.astype(np.int32)
+    with prof("trk.build_buffer"):
+        out = np.empty(n + 3 * total, np.float32)
+        rec_off = np.empty(n, np.int64)
+        np.cumsum(1 + 3 * npts[:-1], out=rec_off[1:]) if n > 1 else None
+        rec_off[0] = 0
+        is_count = np.zeros(n + 3 * total, bool)
+        is_count[rec_off] = True
+        out.view(np.int32)[is_count] = npts.astype(np.int32)
 
-    pts_mm = (tr.packed_xyz + np.float32(0.5)) * vsz[None, :]
-    out[~is_count] = pts_mm.reshape(-1)
+        pts_mm = (tr.packed_xyz + np.float32(0.5)) * vsz[None, :]
+        out[~is_count] = pts_mm.reshape(-1)
 
     header = _trk_header_bytes(tr)
-    with open(outfile, "wb", buffering=1 << 22) as f:
-        f.write(header)
-        out.astype("<f4", copy=False).tofile(f)
+    with prof("trk.file_write"):
+        with open(outfile, "wb", buffering=1 << 22) as f:
+            f.write(header)
+            out.astype("<f4", copy=False).tofile(f)
     return len(header) != 1000
 
 
 def trk_write(tr: Tract, outfile: str) -> bool:
     """Write a .trk file.  Returns True on error.
     (reference: src/trk.jl:433-495)"""
-    if (tr.packed_xyz is not None and not tr.xyz
+    if (tr.packed_xyz is not None and not tr.__dict__.get("xyz")
             and tr.n_scalars == 0 and tr.n_properties == 0):
         return _trk_write_packed(tr, outfile)
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.lazy import LazyVolume
 from ..core.mri import MRI
 from ..core.odf import ODF, half_sphere
 from ..io.dispatch import mri_write_struct
@@ -145,8 +146,14 @@ def _dsi_kernel(signals, iq_flat, hann, wmat, verts_first, nbr, nbr_valid,
 
 
 def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
-            hann_width: int = 32, chunk: int = 4096) -> DSI:
-    """DSI reconstruction of DWIs.  (reference: src/dsi.jl:171-270)"""
+            hann_width: int = 32, chunk: int = 4096,
+            mem_budget: float = 4e9) -> DSI:
+    """DSI reconstruction of DWIs.  (reference: src/dsi.jl:171-270)
+
+    The per-chunk working set is dominated by the [chunk, nfft^3] q-space
+    grid (f32) and its complex spectrum (c64); `chunk` auto-shrinks so
+    that stays under `mem_budget` bytes of HBM.
+    """
     if dwi.bval is None or len(dwi.bval) == 0:
         raise ValueError("Missing b-value table from input DWI structure")
     if dwi.bvec is None or np.asarray(dwi.bvec).size == 0:
@@ -156,6 +163,8 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         from ..core import odf as _odf
         odf_dirs = _odf.sphere_642
 
+    from ..utils.profiling import prof
+
     nvert = odf_dirs.nvert_half
     nfft, iq_flat, hann = _dsi_grid(np.asarray(dwi.bval, np.float32),
                                     np.asarray(dwi.bvec, np.float32),
@@ -164,13 +173,19 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     _, verts_first, faces0 = half_sphere(odf_dirs)
     nbr, nbr_ok = build_neighbors(faces0, nvert)
 
+    # nfft-aware chunk guard: grid f32 + spectrum c64 + fft scratch
+    # ~= 20 bytes per grid cell per voxel
+    max_chunk = max(8, int(mem_budget / (nfft ** 3 * 20)))
+    if chunk > max_chunk:
+        chunk = 1 << int(np.floor(np.log2(max_chunk)))
+
     idx = mask_indices(mask.vol)
     signals = gather_frames(dwi.vol, idx).astype(np.float32)
     n = len(idx)
     nq = len(iq_flat)
 
-    pdf_all = np.zeros((n, nq), np.float32)
-    odf_all = np.zeros((n, nvert), np.float32)
+    pdf_parts: list = []
+    odf_parts: list = []
     vecs_all = np.zeros((n, NPEAK, 3), np.float32)
     qa_all = np.zeros((n, NPEAK), np.float32)
     odfmax = 0.0
@@ -178,28 +193,45 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     args = (jnp.asarray(iq_flat), jnp.asarray(hann), jnp.asarray(wmat),
             jnp.asarray(verts_first), jnp.asarray(nbr), jnp.asarray(nbr_ok))
 
-    for lo in range(0, n, chunk):
-        hi = min(lo + chunk, n)
-        batch = pad_rows(signals[lo:hi], chunk)
-        pdf, odf, vecs, qa, odfmean, valid = _dsi_kernel(
-            jnp.asarray(batch), *args, nfft=nfft)
-        from ..ops.transfer import to_host
-        m = hi - lo
-        pdf_all[lo:hi] = to_host(pdf)[:m]
-        odf_all[lo:hi] = to_host(odf)[:m]
-        vecs_all[lo:hi] = to_host(vecs)[:m]
-        qa_all[lo:hi] = to_host(qa)[:m]
-        odfmax = max(odfmax, float(np.asarray(odfmean)[:m].max()))
+    from ..ops.transfer import to_host
+    with prof("dsi.chunks"):
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            batch = pad_rows(signals[lo:hi], chunk)
+            pdf_c, odf_c, vecs, qa, odfmean, valid = _dsi_kernel(
+                jnp.asarray(batch), *args, nfft=nfft)
+            m = hi - lo
+            # pdf/odf stay on device (lazy outputs); peaks/qa come home now
+            pdf_parts.append(pdf_c)
+            odf_parts.append(odf_c)
+            vecs_all[lo:hi] = to_host(vecs)[:m]
+            qa_all[lo:hi] = to_host(qa)[:m]
+            odfmax = max(odfmax, float(np.asarray(odfmean)[:m].max()))
 
     # Global QA normalization (reference: src/dsi.jl:263-267)
     if odfmax > 0:
         qa_all /= odfmax
 
     shape3 = mask.vol.shape[:3]
-    pdf = MRI.like(mask, nq, np.float32)
-    pdf.vol = scatter_frames(pdf_all, idx, shape3)
-    odf = MRI.like(mask, nvert, np.float32)
-    odf.vol = scatter_frames(odf_all, idx, shape3)
+
+    # Large per-voxel sheaves (PDF samples, ODF amplitudes) are returned
+    # device-resident; MRI.vol materializes them on first host access.
+    # Chunks are padded to `chunk` rows, so row i of voxel k is k rounded
+    # into its chunk — rebuild the dense [n, .] view by dropping pad rows.
+    def lazy_cat(parts, nframes):
+        if len(parts) == 1:
+            vals = parts[0]
+        else:
+            keep = [p[:chunk] for p in parts]
+            # Padding rows only exist in the final chunk (earlier chunks
+            # are exactly `chunk` rows), so concatenation preserves order.
+            vals = jnp.concatenate(keep, axis=0)
+        out = MRI.like(mask, nframes, np.float32)
+        out.vol = LazyVolume(vals, idx, shape3, nframes)
+        return out
+
+    pdf = lazy_cat(pdf_parts, nq)
+    odf = lazy_cat(odf_parts, nvert)
 
     peak, qa = [], []
     for ip in range(NPEAK):

@@ -205,17 +205,23 @@ def dti_fit_ls(dwi: MRI, mask: MRI, batch=None) -> DTI:
     Basser et al. (1994), J Magn Reson B 103(3):247-254.
     (reference: src/dti.jl:243-316)
     """
-    if batch is None:
-        from ..core.batch import prepare_batch
-        batch = prepare_batch(dwi, mask)
+    from ..utils.profiling import prof
+
+    with prof("dti.gather_upload"):
+        if batch is None:
+            from ..core.batch import prepare_batch
+            batch = prepare_batch(dwi, mask)
     idx, signals = batch.idx, batch.signals
     A = _design_dti(np.asarray(dwi.bval, np.float32),
                     np.asarray(dwi.bvec, np.float32))
     ib0 = (dwi.bval == dwi.bval.min()).astype(np.float32)
 
-    out = _dti_kernel(signals, jnp.asarray(A), jnp.asarray(ib0))
+    with prof("dti.kernel"):
+        out = _dti_kernel(signals, jnp.asarray(A), jnp.asarray(ib0))
+        jax.block_until_ready(out)
     from ..ops.transfer import to_host
-    out = {k: to_host(v)[:len(idx)] for k, v in out.items()}
+    with prof("dti.fetch"):
+        out = {k: to_host(v)[:len(idx)] for k, v in out.items()}
 
     shape3 = mask.vol.shape[:3]
 

@@ -10,8 +10,6 @@ Yeh et al. (2010), IEEE TMI 29(9):1626-1635.
 
 from __future__ import annotations
 
-import sys
-
 from dataclasses import dataclass
 from functools import partial
 from typing import List
@@ -20,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.lazy import LazyVolume
 from ..core.mri import MRI
 from ..core.odf import ODF
 from ..io.dispatch import mri_write_struct
@@ -145,10 +144,7 @@ def gqi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         from ..core import odf as _odf
         odf_dirs = _odf.sphere_642
 
-    import os as _os
-    import time as _time
-    _prof = _os.environ.get("FIBERS_PROFILE") == "1"
-    _t = _time.perf_counter
+    from ..utils.profiling import prof
 
     nvert = odf_dirs.nvert_half
     A = gqi_design(np.asarray(dwi.bval, np.float32),
@@ -158,59 +154,47 @@ def gqi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     _, verts_first, faces0 = half_sphere(odf_dirs)
     nbr, nbr_ok = build_neighbors(faces0, nvert)
 
-    _t0 = _t()
-    if batch is None:
-        from ..core.batch import prepare_batch
-        batch = prepare_batch(dwi, mask)
+    with prof("gqi.gather_upload"):
+        if batch is None:
+            from ..core.batch import prepare_batch
+            batch = prepare_batch(dwi, mask)
     idx, signals = batch.idx, batch.signals
-    if _prof:
-        print(f"[gqi] gather: {_t() - _t0:.2f}s", file=sys.stderr)
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
-        from ..ops.pallas.gqi_fused import neighbor_permutations
-        P, okmask = neighbor_permutations(nbr, nbr_ok)
-        odf_b, vecs_b, qa_b, valid_b = _gqi_kernel_pallas(
-            signals, jnp.asarray(A), jnp.asarray(verts_first),
-            jnp.asarray(P), jnp.asarray(okmask))
-    else:
-        odf_b, vecs_b, qa_b, valid_b = _gqi_kernel(
-            signals, jnp.asarray(A), jnp.asarray(verts_first),
-            jnp.asarray(nbr), jnp.asarray(nbr_ok))
+    with prof("gqi.kernel"):
+        if impl == "pallas":
+            from ..ops.pallas.gqi_fused import neighbor_permutations
+            P, okmask = neighbor_permutations(nbr, nbr_ok)
+            odf_b, vecs_b, qa_b, valid_b = _gqi_kernel_pallas(
+                signals, jnp.asarray(A), jnp.asarray(verts_first),
+                jnp.asarray(P), jnp.asarray(okmask))
+        else:
+            odf_b, vecs_b, qa_b, valid_b = _gqi_kernel(
+                signals, jnp.asarray(A), jnp.asarray(verts_first),
+                jnp.asarray(nbr), jnp.asarray(nbr_ok))
+        jax.block_until_ready(vecs_b)
 
-    if _prof:
-        import jax as _jax
-        _t0 = _t()
-        _jax.block_until_ready(odf_b)
-        print(f"[gqi] kernel: {_t() - _t0:.2f}s", file=sys.stderr)
     from ..ops.transfer import to_host
-    _t0 = _t()
     n = len(idx)
-    odf_b = to_host(odf_b)[:n]
-    vecs_b = to_host(vecs_b)[:n]
-    qa_b = to_host(qa_b)[:n]
-    if _prof:
-        print(f"[gqi] D2H ({odf_b.nbytes/1e6:.0f}MB odf): "
-              f"{_t() - _t0:.2f}s", file=sys.stderr)
-    _t0 = _t()
-
     shape3 = mask.vol.shape[:3]
 
-    odf = MRI.like(mask, nvert, np.float32)
-    odf.vol = scatter_frames(odf_b, idx, shape3)
+    with prof("gqi.fetch_scatter"):
+        odf = MRI.like(mask, nvert, np.float32)
+        odf.vol = LazyVolume(odf_b, idx, shape3, nvert)
 
-    peak, qa = [], []
-    for ip in range(NPEAK):
-        pm = MRI.like(mask, 3, np.float32)
-        pm.vol = scatter_frames(vecs_b[:, ip, :], idx, shape3)
-        peak.append(pm)
-        qm = MRI.like(mask, 1, np.float32)
-        qm.vol = scatter_frames(qa_b[:, ip], idx, shape3)
-        qa.append(qm)
+        vecs_b = to_host(vecs_b)[:n]
+        qa_b = to_host(qa_b)[:n]
 
-    if _prof:
-        print(f"[gqi] scatter: {_t() - _t0:.2f}s", file=sys.stderr)
+        peak, qa = [], []
+        for ip in range(NPEAK):
+            pm = MRI.like(mask, 3, np.float32)
+            pm.vol = scatter_frames(vecs_b[:, ip, :], idx, shape3)
+            peak.append(pm)
+            qm = MRI.like(mask, 1, np.float32)
+            qm.vol = scatter_frames(qa_b[:, ip], idx, shape3)
+            qa.append(qm)
+
     return GQI(odf=odf, peak=peak, qa=qa)
 
 

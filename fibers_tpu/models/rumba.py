@@ -34,6 +34,7 @@ __all__ = ["RUMBASD", "rumba_rec", "rumba_write", "tensor_model",
 NPEAK = 5
 FTHRESH = 0.1
 _TV_CHUNK = 16
+_BLOCK_ITERS = 25
 
 
 @dataclass
@@ -167,11 +168,10 @@ def _tv_term(fodf, idx_mask, lam_flat, shape3, nxyz):
     return tv_chunks.reshape(nchunks * _TV_CHUNK, n)[:ncomp].T
 
 
-@partial(jax.jit, static_argnames=("n_order", "ipat_factor", "use_tv",
-                                   "shape3", "nxyz"))
-def _rumba_step(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
-                idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz):
-    """One RUMBA-SD iteration over the voxel batch.
+def _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
+                     idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz):
+    """One RUMBA-SD iteration over the voxel batch (traceable body shared
+    by the single-step and fori_loop-block entry points).
     (reference: src/rusd.jl:266-339)"""
     eps = 1e-7
     hp = jax.lax.Precision.HIGHEST
@@ -209,6 +209,54 @@ def _rumba_step(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
 
     snr = 1.0 / jnp.sqrt(sig2)
     return fodf, dodf, dodf_sig, sig2, lam_flat, snr
+
+
+@partial(jax.jit, static_argnames=("n_order", "ipat_factor", "use_tv",
+                                   "shape3", "nxyz"))
+def _rumba_step(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
+                idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz):
+    return _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal,
+                            kernel, idx_mask, n_order, ipat_factor, use_tv,
+                            shape3, nxyz)
+
+
+@partial(jax.jit, static_argnames=("k", "n_order", "ipat_factor", "use_tv",
+                                   "shape3", "nxyz"))
+def _rumba_block(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
+                 idx_mask, k, n_order, ipat_factor, use_tv, shape3, nxyz):
+    """k RUMBA-SD iterations in one dispatch via lax.fori_loop — on
+    high-latency runtimes per-call dispatch would otherwise dominate the
+    600-iteration fit."""
+    snr = 1.0 / jnp.sqrt(sig2)
+
+    def body(_, st):
+        fodf, dodf, dodf_sig, sig2, lam_flat, _snr = st
+        return _rumba_step_core(
+            fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
+            idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz)
+
+    return jax.lax.fori_loop(
+        0, k, body, (fodf, dodf, dodf_sig, sig2, lam_flat, snr))
+
+
+@partial(jax.jit, static_argnames=("nvert",))
+def _rumba_post(fodf, nvert):
+    """Energy normalization, isotropic-fraction embedding, and GFA — all
+    on device (reference: src/rusd.jl:560-596)."""
+    fodf = fodf / (fodf.sum(axis=1, keepdims=True) + 1e-7)
+    fodf_wm = fodf[:, :nvert]
+    fcsf = fodf[:, nvert]
+    fgm = fodf[:, nvert + 1]
+    f_iso = fcsf + fgm
+
+    fodf_full = fodf_wm + f_iso[:, None]
+    s = fodf_full.sum(axis=1, keepdims=True)
+    fodf_full = jnp.where(s > 0, fodf_full / jnp.maximum(s, 1e-30), 0.0)
+
+    std = fodf_full.std(axis=1, ddof=1)
+    rms = jnp.sqrt((fodf_full ** 2).mean(axis=1))
+    gfa = jnp.where(rms > 0, std / jnp.maximum(rms, 1e-30), 0.0)
+    return fodf_full, fgm, fcsf, f_iso, gfa
 
 
 @partial(jax.jit, static_argnames=("npeak",))
@@ -331,56 +379,59 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                 print(f"WARNING: checkpoint {checkpoint_path} does not "
                       "match this problem; starting fresh")
 
+    from ..utils.profiling import prof
+
+    # Iterate in fori_loop blocks of up to _BLOCK_ITERS per dispatch
+    # (verbose mode steps singly to print per-iteration SNR like the
+    # reference, reference: src/rusd.jl:543-556).  Checkpoints land on
+    # block boundaries.
     snr = 1.0 / jnp.sqrt(sig2)
-    for it in range(it_start, niter):
-        fodf, dodf, dodf_sig, sig2, lam_flat, snr = _rumba_step(
-            fodf, dodf, dodf_sig, sig2, lam_flat, signal_j, kernel_j,
-            idx_j, n_order, ipat_factor, use_tv, shape3, nxyz)
-        if verbose:
-            sm = float(snr.mean())
-            ss = float(snr.std(ddof=1)) if nmask > 1 else 0.0
-            print(f"Iteration {it + 1} of {niter}")
-            print(f"Estimated mean SNR (s0/sigma) = {sm} (+-) {ss}")
-        if (checkpoint_path is not None and checkpoint_every > 0
-                and (it + 1) % checkpoint_every == 0 and it + 1 < niter):
-            tmp = checkpoint_path + ".tmp.npz"
-            np.savez(tmp, fodf=np.asarray(fodf), sig2=np.asarray(sig2),
-                     lam_flat=np.asarray(lam_flat), iteration=it + 1,
-                     nmask=nmask, ncomp=ncomp, niter=niter)
-            os.replace(tmp, checkpoint_path)
+    it = it_start
+    with prof("rumba.iterate"):
+        while it < niter:
+            k = niter - it
+            if verbose:
+                k = 1
+            if checkpoint_path is not None and checkpoint_every > 0:
+                k = min(k, checkpoint_every - it % checkpoint_every)
+            k = min(k, _BLOCK_ITERS)
+            fodf, dodf, dodf_sig, sig2, lam_flat, snr = _rumba_block(
+                fodf, dodf, dodf_sig, sig2, lam_flat, signal_j, kernel_j,
+                idx_j, k, n_order, ipat_factor, use_tv, shape3, nxyz)
+            it += k
+            if verbose:
+                sm = float(snr.mean())
+                ss = float(snr.std(ddof=1)) if nmask > 1 else 0.0
+                print(f"Iteration {it} of {niter}")
+                print(f"Estimated mean SNR (s0/sigma) = {sm} (+-) {ss}")
+            if (checkpoint_path is not None and checkpoint_every > 0
+                    and it % checkpoint_every == 0 and it < niter):
+                tmp = checkpoint_path + ".tmp.npz"
+                np.savez(tmp, fodf=np.asarray(fodf), sig2=np.asarray(sig2),
+                         lam_flat=np.asarray(lam_flat), iteration=it,
+                         nmask=nmask, ncomp=ncomp, niter=niter)
+                os.replace(tmp, checkpoint_path)
 
     snr_np = np.asarray(snr)[:, 0]
     snr_mean = float(snr_np.mean())
     snr_std = float(snr_np.std(ddof=1)) if nmask > 1 else 0.0
 
-    # Energy preservation (reference: src/rusd.jl:560)
+    from ..core.lazy import LazyVolume
     from ..ops.transfer import to_host
-    fodf = to_host(fodf)
-    fodf = fodf / (fodf.sum(axis=1, keepdims=True) + 1e-7)
 
-    fodf_wm = fodf[:, :nvert]
-    fcsf_v = fodf[:, nvert]
-    fgm_v = fodf[:, nvert + 1]
-    f_iso_v = fcsf_v + fgm_v
+    with prof("rumba.post"):
+        # Energy normalization + iso embedding + GFA, all on device
+        # (reference: src/rusd.jl:560-596)
+        fodf_full, fgm_d, fcsf_d, f_iso_d, gfa_d = _rumba_post(fodf, nvert)
 
-    # Add isotropic fraction to every vertex, renormalize
-    # (reference: src/rusd.jl:582-588)
-    fodf_full = fodf_wm + f_iso_v[:, None]
-    s = fodf_full.sum(axis=1, keepdims=True)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        fodf_full = np.where(s > 0, fodf_full / s, 0.0)
+        vecs_d = _rumba_peaks_kernel(
+            fodf_full, f_iso_d, jnp.asarray(half_verts), jnp.asarray(nbr),
+            jnp.asarray(nbr_ok), FTHRESH)
 
-    # GFA = std / rms over vertices (reference: src/rusd.jl:596)
-    std = fodf_full.std(axis=1, ddof=1)
-    rms = np.sqrt((fodf_full ** 2).mean(axis=1))
-    with np.errstate(invalid="ignore", divide="ignore"):
-        gfa_v = np.where(rms > 0, std / rms, 0.0)
-
-    vecs = to_host(_rumba_peaks_kernel(
-        jnp.asarray(fodf_full.astype(np.float32)),
-        jnp.asarray(f_iso_v.astype(np.float32)),
-        jnp.asarray(half_verts), jnp.asarray(nbr), jnp.asarray(nbr_ok),
-        FTHRESH))
+        vecs = to_host(vecs_d)
+        fgm_v = np.asarray(fgm_d)
+        fcsf_v = np.asarray(fcsf_d)
+        gfa_v = np.asarray(gfa_d)
 
     def vol_of(arr, nframes):
         m = MRI.like(mask, nframes, np.float32)
@@ -389,8 +440,13 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
 
     peak = [vol_of(vecs[:, ip, :], 3) for ip in range(NPEAK)]
 
+    # The [N, nvert] fODF sheaf is the one large output: keep it device-
+    # resident, materializing to a host volume only on access.
+    fodf_mri = MRI.like(mask, nvert, np.float32)
+    fodf_mri.vol = LazyVolume(fodf_full, idx, shape3, nvert)
+
     return RUMBASD(
-        fodf=vol_of(fodf_full.astype(np.float32), nvert),
+        fodf=fodf_mri,
         fgm=vol_of(fgm_v.astype(np.float32), 1),
         fcsf=vol_of(fcsf_v.astype(np.float32), 1),
         peak=peak,

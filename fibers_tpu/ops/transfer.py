@@ -11,12 +11,17 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 
+import jax
 import numpy as np
 
 __all__ = ["to_host"]
 
-_CHUNK_BYTES = 24 << 20
-_THREADS = 4
+# Tuned on the tunneled v5e (2026-08-16 sweep): 8 threads x 16 MB chunks
+# sustains ~70-90 MB/s vs ~50 MB/s at 4 x 24 MB.  Env-overridable.
+import os
+
+_CHUNK_BYTES = int(os.environ.get("FIBERS_D2H_CHUNK_MB", 16)) << 20
+_THREADS = int(os.environ.get("FIBERS_D2H_THREADS", 8))
 _pool = None
 
 
@@ -28,17 +33,39 @@ def _get_pool():
 
 
 def to_host(x) -> np.ndarray:
-    """Fetch a device array to host, chunked along the leading axis."""
+    """Fetch a device array to host: flatten on device, fetch 1-D chunks
+    in parallel, reshape on host.
+
+    The device-side flatten is load-bearing, not cosmetic: computed TPU
+    arrays live in tiled layouts (minor dims padded to the 8x128 tile), and
+    fetching them takes a per-tile slow path — measured 0.1 MB/s for an
+    [N, 3] array vs 15+ MB/s for the same bytes as 1-D.  reshape(-1)
+    dispatches one on-device relayout copy (HBM-bandwidth, negligible) and
+    makes the wire transfer linear.
+    """
     nbytes = x.size * x.dtype.itemsize
-    if nbytes <= _CHUNK_BYTES or x.ndim == 0 or x.shape[0] <= 1:
+    if x.ndim == 0:
         return np.asarray(x)
 
-    row_bytes = max(1, nbytes // x.shape[0])
-    rows = max(1, _CHUNK_BYTES // row_bytes)
-    n = x.shape[0]
-    chunks = [x[i:min(i + rows, n)] for i in range(0, n, rows)]
-    if len(chunks) == 1:
-        return np.asarray(x)
+    shape = x.shape
+    import jax.numpy as jnp
 
+    flat = jnp.reshape(x, (-1,))
+    n = flat.shape[0]
+    elems = max(1, _CHUNK_BYTES // max(1, x.dtype.itemsize))
+    if nbytes <= _CHUNK_BYTES or n <= elems:
+        return np.asarray(flat).reshape(shape)
+
+    # Aligned fixed-size chunks only (the tail chunk overreads into the
+    # final window and is trimmed host-side): keeps the set of device
+    # slice programs small and persistent-cacheable per input shape.
+    starts = list(range(0, n - elems + 1, elems))
+    if starts[-1] + elems < n:
+        starts.append(n - elems)
+    chunks = [jax.lax.slice_in_dim(flat, i, i + elems) for i in starts]
     parts = list(_get_pool().map(np.asarray, chunks))
-    return np.concatenate(parts, axis=0)
+
+    out = np.empty(n, x.dtype)
+    for i, p in zip(starts, parts):
+        out[i:i + elems] = p
+    return out.reshape(shape)

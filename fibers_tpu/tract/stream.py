@@ -29,6 +29,7 @@ import numpy as np
 
 from ..core.mri import MRI
 from ..io.trk import Tract, str_add
+from ..utils.profiling import prof
 
 __all__ = ["stream", "StreamConfig", "propagate_chunk"]
 
@@ -191,16 +192,22 @@ def _compact(fwd_pts, bwd_pts, fwd_n, bwd_n, keep, line_off, cap):
     return out
 
 
-def _assemble_device(fwd_pts, fwd_n_dev, bwd_n_dev, bwd_pts, len_min):
+def _assemble_device(fwd_pts, fwd_n_dev, bwd_n_dev, bwd_pts, len_min,
+                     fetch_pool=None):
     """Count-fetch + device compaction + minimal transfer.
 
-    Returns (flat_pts [total, 3] on host, npts [nkept])."""
-    fwd_n = np.asarray(fwd_n_dev)
-    bwd_n = np.asarray(bwd_n_dev)
+    Returns (flat_pts [total, 3] host array OR a Future of it when
+    `fetch_pool` is given, npts [nkept]).  With a pool, the big point
+    fetch runs on a background thread so it overlaps with the device
+    compute of subsequent chunks."""
+    with prof("stream.counts_fetch"):
+        fwd_n = np.asarray(fwd_n_dev)
+        bwd_n = np.asarray(bwd_n_dev)
     tot = fwd_n + bwd_n
     keep = tot >= len_min
     if not keep.any():
-        return np.zeros((0, 3), np.float32), np.zeros(0, np.int32)
+        empty = np.zeros((0, 3), np.float32)
+        return empty, np.zeros(0, np.int32)
 
     npts = tot[keep]
     total = int(npts.sum())
@@ -210,12 +217,21 @@ def _assemble_device(fwd_pts, fwd_n_dev, bwd_n_dev, bwd_pts, len_min):
     off_all[keep] = np.concatenate([[0], np.cumsum(npts)[:-1]])
 
     cap = max(1 << 16, 1 << int(np.ceil(np.log2(max(total, 1)))))
-    out = _compact(fwd_pts, bwd_pts, fwd_n_dev, bwd_n_dev,
-                   jnp.asarray(keep), jnp.asarray(off_all, jnp.int32), cap)
+    with prof("stream.compact_dispatch"):
+        out = _compact(fwd_pts, bwd_pts, fwd_n_dev, bwd_n_dev,
+                       jnp.asarray(keep), jnp.asarray(off_all, jnp.int32),
+                       cap)
+        sliced = out[:total]
 
     from ..ops.transfer import to_host
-    flat = to_host(out[:total])
-    return flat, npts.astype(np.int32)
+
+    def fetch():
+        with prof("stream.points_fetch"):
+            return to_host(sliced)
+
+    if fetch_pool is not None:
+        return fetch_pool.submit(fetch), npts.astype(np.int32)
+    return fetch(), npts.astype(np.int32)
 
 def _assemble(fwd_pts, fwd_n, bwd_pts, bwd_n, len_min):
     """Vectorized ragged assembly: reversed forward prefix + backward prefix
@@ -404,8 +420,13 @@ def stream(ovec: Union[MRI, List[MRI]], *, f=None, fa: Optional[MRI] = None,
     nsteps = int(len_max) + 2
     cosang_thresh = float(np.cos(np.radians(ang_thresh)))
 
-    flat_parts, npts_parts = [], []
-    for lo in range(0, len(seeds_all), cfg.chunk):
+    # Software pipeline over seed chunks: propagate(i+1) is dispatched
+    # before chunk i is assembled, and each chunk's big point fetch runs
+    # on a background thread — so the slow device->host wire time overlaps
+    # with on-device propagation of later chunks.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def launch(lo):
         hi = min(lo + cfg.chunk, len(seeds_all))
         seeds_c, subs_c = seeds_all[lo:hi], subs_all[lo:hi]
         if hi - lo < cfg.chunk and len(seeds_all) > cfg.chunk:
@@ -416,14 +437,27 @@ def stream(ovec: Union[MRI, List[MRI]], *, f=None, fa: Optional[MRI] = None,
                 [seeds_c, np.full((padn, 3), -10.0, np.float32)])
             subs_c = np.concatenate(
                 [subs_c, np.zeros((padn, 3), np.float32)])
-        fwd_pts, fwd_n, bwd_pts, bwd_n = propagate_chunk(
-            seeds_c, subs_c, mask_flat, ovecs_flat,
-            shape3, nsteps, float(step_size), cosang_thresh,
-            float(smooth_coeff), int(len_max))
-        flat, npts = _assemble_device(fwd_pts, fwd_n, bwd_n, bwd_pts,
-                                      cfg.len_min)
-        flat_parts.append(flat)
-        npts_parts.append(npts)
+        with prof("stream.propagate_dispatch"):
+            return propagate_chunk(
+                seeds_c, subs_c, mask_flat, ovecs_flat,
+                shape3, nsteps, float(step_size), cosang_thresh,
+                float(smooth_coeff), int(len_max))
+
+    starts = list(range(0, len(seeds_all), cfg.chunk))
+    flat_parts, npts_parts = [], []
+    with ThreadPoolExecutor(1) as fetch_pool:
+        pending = launch(starts[0]) if starts else None
+        for i in range(len(starts)):
+            nxt = launch(starts[i + 1]) if i + 1 < len(starts) else None
+            fwd_pts, fwd_n, bwd_pts, bwd_n = pending
+            flat, npts = _assemble_device(fwd_pts, fwd_n, bwd_n, bwd_pts,
+                                          cfg.len_min,
+                                          fetch_pool=fetch_pool)
+            flat_parts.append(flat)
+            npts_parts.append(npts)
+            pending = nxt
+        flat_parts = [p.result() if hasattr(p, "result") else p
+                      for p in flat_parts]
 
     flat_pts = np.concatenate(flat_parts) if flat_parts else \
         np.zeros((0, 3), np.float32)

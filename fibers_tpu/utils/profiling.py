@@ -8,11 +8,13 @@ device traces.
 
 from __future__ import annotations
 
+import os
 import time
 from contextlib import contextmanager
 from typing import Dict, List, Optional
 
-__all__ = ["StageTimer", "trace"]
+__all__ = ["StageTimer", "trace", "prof", "prof_enabled", "prof_summary",
+           "prof_reset"]
 
 
 class StageTimer:
@@ -52,6 +54,41 @@ class StageTimer:
                          f"{self.totals[s]:>10.3f}{pct:>6.1f}%")
         lines.append(f"{'TOTAL':<24}{'':>6}{total:>10.3f}")
         return "\n".join(lines)
+
+
+# ------------------------------------------------------------------ #
+# Global env-gated profiler: FIBERS_PROFILE=1 turns every `prof(...)`
+# block across models/tract/io into an accumulating stage timer, so any
+# bench tail is self-attributing.
+# ------------------------------------------------------------------ #
+
+_GLOBAL = StageTimer()
+
+
+def prof_enabled() -> bool:
+    return os.environ.get("FIBERS_PROFILE") == "1"
+
+
+@contextmanager
+def prof(stage: str):
+    """Time a named stage into the global profiler (no-op unless
+    FIBERS_PROFILE=1).  Callers should block_until_ready inside the block
+    when attributing device work."""
+    if not prof_enabled():
+        yield
+        return
+    with _GLOBAL(stage):
+        yield
+
+
+def prof_summary() -> str:
+    return _GLOBAL.summary()
+
+
+def prof_reset() -> None:
+    _GLOBAL.totals.clear()
+    _GLOBAL.counts.clear()
+    _GLOBAL.order.clear()
 
 
 @contextmanager

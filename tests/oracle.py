@@ -1,0 +1,331 @@
+"""Golden-parity oracle: direct NumPy per-voxel transliterations of the
+reference's algorithms, used as an independent test oracle for the batched
+TPU kernels.
+
+Each function here follows the reference's Julia code line by line (0-based
+indices, numpy in place of BLAS), deliberately NOT sharing any code with
+the fibers_tpu package — if either side's math drifts, the parity tests in
+test_oracle.py fail.
+
+Transliterated from:
+- GQI per-voxel:   /root/reference/src/gqi.jl:132-201
+- DTI per-voxel:   /root/reference/src/dti.jl:286-316 (ragged pinv path)
+- RUMBA iterate:   /root/reference/src/rusd.jl:183-339
+- stream_new_line: /root/reference/src/stream.jl:336-374, 501-541, 625-686
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# --------------------------------------------------------------------- #
+# GQI (reference: src/gqi.jl)
+# --------------------------------------------------------------------- #
+
+def gqi_system_matrix(bval, bvec, vertices, sigma=1.25):
+    """A [nvert, nvol] (reference: src/gqi.jl:66-69).  `vertices` is the
+    full 2*nvert table; uses the second half like the reference."""
+    nvert = len(vertices) // 2
+    bq = np.asarray(bvec, np.float64) * (
+        np.sqrt(np.asarray(bval, np.float64) * 0.01506)[:, None]
+        * (sigma / np.pi))
+    # Julia sinc is the normalized sinc, same as numpy's
+    return np.sinc(np.asarray(vertices[nvert:], np.float64) @ bq.T)
+
+
+def find_peaks_oracle(o, faces_half):
+    """Zero every vertex that is not a strict local max over its face
+    neighborhoods; return (odf_peak, isort) (reference: src/gqi.jl:180-201).
+    `faces_half` is 0-based, already folded onto the half sphere."""
+    o = np.asarray(o)
+    f = faces_half
+    odf_peak = o.copy()
+    c0 = (o[f[:, 1]] >= o[f[:, 0]]) | (o[f[:, 2]] >= o[f[:, 0]])
+    c1 = (o[f[:, 0]] >= o[f[:, 1]]) | (o[f[:, 2]] >= o[f[:, 1]])
+    c2 = (o[f[:, 1]] >= o[f[:, 2]]) | (o[f[:, 0]] >= o[f[:, 2]])
+    odf_peak[f[c0, 0]] = 0
+    odf_peak[f[c1, 1]] = 0
+    odf_peak[f[c2, 2]] = 0
+    isort = np.argsort(-odf_peak, kind="stable")
+    nvalid = int((odf_peak > 0).sum())
+    return isort, nvalid
+
+
+def gqi_oracle(vol, mask, bval, bvec, vertices, faces, sigma=1.25,
+               npeak=3):
+    """Whole-volume per-voxel GQI (reference: src/gqi.jl:109-171).
+
+    vertices/faces: full-sphere tessellation, faces 0-based.
+    Returns (odf [X,Y,Z,nvert], peak list of [X,Y,Z,3], qa list of [X,Y,Z]).
+    """
+    nvert = len(vertices) // 2
+    A = gqi_system_matrix(bval, bvec, vertices, sigma).astype(np.float32)
+    # faces in the tessellation tables are 1-based (Julia); fold onto the
+    # half sphere like the reference, then shift to 0-based
+    faces_half = faces.astype(np.int64).copy()
+    faces_half[faces_half > nvert] -= nvert
+    faces_half -= 1
+
+    nx, ny, nz = mask.shape[:3]
+    odf = np.zeros((nx, ny, nz, nvert), np.float32)
+    peak = [np.zeros((nx, ny, nz, 3), np.float32) for _ in range(npeak)]
+    qa = [np.zeros((nx, ny, nz), np.float32) for _ in range(npeak)]
+
+    for ix in range(nx):
+        for iy in range(ny):
+            for iz in range(nz):
+                if mask[ix, iy, iz] == 0:
+                    continue
+                s = np.maximum(vol[ix, iy, iz, :].astype(np.float32), 0)
+                if s.max() == 0:
+                    continue
+                o = A @ s
+                odf[ix, iy, iz, :] = o
+                odfmin = o.min()
+                isort, nvalid = find_peaks_oracle(o, faces_half)
+                for ip in range(min(nvalid, npeak)):
+                    peak[ip][ix, iy, iz, :] = vertices[isort[ip]]
+                    qa[ip][ix, iy, iz] = o[isort[ip]] - odfmin
+
+    odfmax = odf.mean(axis=3).max()
+    for ip in range(npeak):
+        qa[ip] /= odfmax
+    return odf, peak, qa
+
+
+# --------------------------------------------------------------------- #
+# DTI (reference: src/dti.jl)
+# --------------------------------------------------------------------- #
+
+def dti_design(bval, bvec):
+    """[nvol, 7] design (reference: src/dti.jl:129-140)."""
+    gx, gy, gz = bvec[:, 0], bvec[:, 1], bvec[:, 2]
+    a = np.stack([gx * gx, 2 * gx * gy, 2 * gx * gz,
+                  gy * gy, 2 * gy * gz, gz * gz], axis=1)
+    a = -np.asarray(bval)[:, None] * a
+    return np.concatenate([a, np.ones((len(bval), 1))], axis=1)
+
+
+def dti_fit_voxel_oracle(dwi, bval, bvec):
+    """Single-voxel LS tensor fit incl. the ragged positive-subset pinv
+    path (reference: src/dti.jl:286-316).
+
+    Returns dict(s0, eigval1..3 desc, eigvec1..3, rd, md, fa)."""
+    A = dti_design(bval, bvec)
+    ib0 = bval == bval.min()
+    ipos = dwi > 0
+    npos = int(ipos.sum())
+    nvol = len(dwi)
+
+    zeros = dict(s0=0.0, eigval1=0.0, eigval2=0.0, eigval3=0.0,
+                 eigvec1=np.zeros(3), eigvec2=np.zeros(3),
+                 eigvec3=np.zeros(3), rd=0.0, md=0.0, fa=0.0)
+    if npos == nvol:
+        d = np.linalg.pinv(A) @ np.log(dwi)
+    elif npos > 6 and ipos[ib0].any():
+        d = np.linalg.pinv(A[ipos, :]) @ np.log(dwi[ipos])
+    else:
+        return zeros
+
+    s0 = np.exp(d[6])
+    D = np.array([[d[0], d[1], d[2]],
+                  [d[1], d[3], d[4]],
+                  [d[2], d[4], d[5]]])
+    evals, evecs = np.linalg.eigh(D)        # ascending, like Julia eigen
+
+    l1, l2, l3 = evals[2], evals[1], evals[0]
+    rd = l2 + l3
+    md = (l1 + rd) / 3
+    rd /= 2
+    fa = np.sqrt(((l1 - md) ** 2 + (l2 - md) ** 2 + (l3 - md) ** 2)
+                 / (l1 ** 2 + l2 ** 2 + l3 ** 2) * 1.5)
+    return dict(s0=s0, eigval1=l1, eigval2=l2, eigval3=l3,
+                eigvec1=evecs[:, 2], eigvec2=evecs[:, 1],
+                eigvec3=evecs[:, 0], rd=rd, md=md, fa=fa)
+
+
+def adc_fit_voxel_oracle(dwi, bval):
+    """Single-voxel ADC fit (reference: src/dti.jl:190-213)."""
+    A = np.stack([-np.asarray(bval), np.ones(len(bval))], axis=1)
+    ib0 = bval == bval.min()
+    ipos = dwi > 0
+    npos = int(ipos.sum())
+    if npos == len(dwi):
+        d = np.linalg.pinv(A) @ np.log(dwi)
+    elif npos > 6 and ipos[ib0].any():
+        d = np.linalg.pinv(A[ipos, :]) @ np.log(dwi[ipos])
+    else:
+        return 0.0, 0.0
+    return d[0], np.exp(d[1])
+
+
+# --------------------------------------------------------------------- #
+# RUMBA-SD single iteration (reference: src/rusd.jl:183-339)
+# --------------------------------------------------------------------- #
+
+def besseli_ratio_oracle(nu, z):
+    """(reference: src/rusd.jl:170-177)"""
+    return z / ((2 * nu + z)
+                - ((2 * nu + 1) * z
+                   / (2 * z + (2 * nu + 1)
+                      - ((2 * nu + 3) * z
+                         / ((2 * nu + 2) + 2 * z
+                            - ((2 * nu + 5) * z
+                               / ((2 * nu + 3) + 2 * z)))))))
+
+
+def _sd_grad(v):
+    gx = np.concatenate([v[1:], v[-1:]], axis=0) - v
+    gy = np.concatenate([v[:, 1:], v[:, -1:]], axis=1) - v
+    gz = np.concatenate([v[:, :, 1:], v[:, :, -1:]], axis=2) - v
+    return gx, gy, gz
+
+
+def _sd_div(gx, gy, gz):
+    div = np.empty_like(gx)
+    div[1:-1] = gx[1:-1] - gx[:-2]
+    div[0] = gx[0]
+    div[-1] = -gx[-2]
+    div[:, 1:-1] += gy[:, 1:-1] - gy[:, :-2]
+    div[:, 0] += gy[:, 0]
+    div[:, -1] += -gy[:, -2]
+    div[:, :, 1:-1] += gz[:, :, 1:-1] - gz[:, :, :-2]
+    div[:, :, 0] += gz[:, :, 0]
+    div[:, :, -1] += -gz[:, :, -2]
+    return div
+
+
+def rumba_tv_oracle(vol, lam_vol, eps=1e-7):
+    """TV multiplier for one component volume
+    (reference: src/rusd.jl:183-235)."""
+    gx, gy, gz = _sd_grad(vol)
+    norm = np.sqrt(gx ** 2 + gy ** 2 + gz ** 2 + eps)
+    div = _sd_div(gx / norm, gy / norm, gz / norm)
+    return 1.0 / (np.abs(1.0 - lam_vol * div) + eps)
+
+
+def rumba_iterate_oracle(fodf, dodf, dodf_sig, sig2, lam_vol, signal,
+                         kernel, ind_mask, shape3, n_order=1,
+                         ipat_factor=1, use_tv=True, eps=1e-7):
+    """One RUMBA-SD iteration (reference: src/rusd.jl:266-339).
+
+    All matrices here are voxel-major [nmask, k] (the reference stores the
+    transpose); ind_mask are flat C-order voxel indices into shape3.
+    Returns the updated (fodf, dodf, dodf_sig, sig2, lam_vol).
+    """
+    ndir, ncomp = kernel.shape
+
+    iratio = besseli_ratio_oracle(n_order, dodf_sig)
+
+    rl_num = (signal * iratio) @ kernel
+    rl_den = dodf @ kernel + eps
+    rl = rl_num / rl_den
+
+    if use_tv:
+        tv = np.empty_like(fodf)
+        nxyz = int(np.prod(shape3))
+        for icomp in range(ncomp):
+            vol = np.zeros(nxyz)
+            vol[ind_mask] = fodf[:, icomp]
+            tvv = rumba_tv_oracle(vol.reshape(shape3), lam_vol, eps)
+            tv[:, icomp] = tvv.reshape(-1)[ind_mask]
+    else:
+        tv = 1.0
+
+    fodf = np.maximum(fodf * rl * tv, 0.0)
+
+    dodf = fodf @ kernel.T
+    dodf_sig = (signal * dodf) / sig2
+
+    resid = ((signal ** 2 + dodf ** 2) / 2 - (sig2 * dodf_sig) * iratio)
+    sig2 = resid.sum(axis=1, keepdims=True) / (n_order * ndir)
+    sig2 = np.clip(sig2, (1.0 / 80) ** 2, (1.0 / 8) ** 2)
+
+    if use_tv:
+        if ipat_factor == 1:
+            lam_vol = np.full_like(lam_vol,
+                                   max(sig2.mean(), (1.0 / 30) ** 2))
+        else:
+            flat = np.zeros(lam_vol.size)
+            flat[ind_mask] = sig2[:, 0]
+            lam_vol = flat.reshape(lam_vol.shape)
+
+    return fodf, dodf, dodf_sig, sig2, lam_vol
+
+
+# --------------------------------------------------------------------- #
+# Deterministic streamline (reference: src/stream.jl:336-374, 501-541,
+# 625-686)
+# --------------------------------------------------------------------- #
+
+def _pick_by_angle_oracle(vec_now, vecs_here):
+    """(reference: src/stream.jl:340-374).  vecs_here [nvec, 3]."""
+    cosang = np.empty(len(vecs_here))
+    cosangabs = np.empty(len(vecs_here))
+    for iv, v in enumerate(vecs_here):
+        if not v.any():
+            cosang[iv] = cosangabs[iv] = -np.inf
+        else:
+            cosang[iv] = float(vec_now @ v)
+            cosangabs[iv] = abs(cosang[iv])
+    ivec = int(np.argmax(cosangabs))
+    if not np.isfinite(cosang[ivec]):
+        return None
+    v = vecs_here[ivec]
+    return v.copy() if cosang[ivec] > 0 else -v.copy()
+
+
+def stream_line_oracle(seed_vox, sub_vox, ovecs, mask, step_size=0.5,
+                       cosang_thresh=np.cos(np.radians(45.0)),
+                       smooth_coeff=0.2, len_max=None):
+    """Bidirectional deterministic streamline from one seed
+    (reference: src/stream.jl:625-686).
+
+    ovecs: [nx, ny, nz, nvec, 3]; mask: [nx, ny, nz] bool.
+    Returns the [npts, 3] polyline (forward points prepended reversed,
+    like the reference's prepend!/append!).
+    """
+    nx, ny, nz = mask.shape
+    if len_max is None:
+        len_max = max(nx, ny, nz)
+
+    strline = []
+    npts = 0
+    for fwd in (1, -1):
+        pos_now = np.asarray(seed_vox, float) + np.asarray(sub_vox, float)
+        iv = tuple(int(v) for v in np.asarray(seed_vox))
+        vec_now = ovecs[iv][0].astype(float) * fwd
+
+        addpt = (lambda p: strline.insert(0, p)) if fwd == 1 else \
+            strline.append
+
+        while True:
+            pos_next = pos_now + vec_now * step_size
+            inext = np.round(pos_next).astype(int)
+            if not ((0 <= inext[0] < nx) and (0 <= inext[1] < ny)
+                    and (0 <= inext[2] < nz)):
+                break
+            if not mask[tuple(inext)]:
+                break
+            vec_next = _pick_by_angle_oracle(vec_now, ovecs[tuple(inext)])
+            if vec_next is None:
+                break
+
+            addpt(pos_now.copy())
+            npts += 1
+
+            if float(vec_now @ vec_next) < cosang_thresh:
+                break
+            if npts > len_max:
+                break
+
+            if smooth_coeff != 0:
+                vec_next = (smooth_coeff * vec_now
+                            + (1 - smooth_coeff) * vec_next)
+                vec_next = vec_next / np.linalg.norm(vec_next)
+
+            pos_now = pos_next
+            vec_now = vec_next
+
+    return np.asarray(strline).reshape(-1, 3)
