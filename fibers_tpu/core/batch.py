@@ -31,7 +31,14 @@ class VoxelBatch:
 
 def prepare_batch(dwi, mask) -> VoxelBatch:
     """Gather the masked voxel signals and place them on device once."""
-    idx = mask_indices(mask.vol)
-    signals = gather_frames(dwi.vol, idx).astype(np.float32)
-    signals = pad_rows(signals, padded_size(len(idx)))
-    return VoxelBatch(idx=idx, signals=jnp.asarray(signals), n=len(idx))
+    from ..utils.profiling import prof
+
+    with prof("batch.gather"):
+        idx = mask_indices(mask.vol)
+        signals = gather_frames(dwi.vol, idx).astype(np.float32)
+        signals = pad_rows(signals, padded_size(len(idx)))
+    with prof("batch.upload"):
+        dev = jnp.asarray(signals)
+        import jax
+        jax.block_until_ready(dev)
+    return VoxelBatch(idx=idx, signals=dev, n=len(idx))

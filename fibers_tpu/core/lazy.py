@@ -55,7 +55,7 @@ class LazyVolume:
             from ..ops.masked import scatter_frames
             from ..ops.transfer import to_host
 
-            vals = to_host(self._values)[: len(self._idx)]
+            vals = to_host(self._values, n_lead=len(self._idx))
             self._host = scatter_frames(vals, self._idx, self._shape3)
             self._values = None  # release HBM
         return self._host

@@ -336,6 +336,46 @@ def trk_read(infile: str) -> Tract:
     vsz = tr.voxel_size.astype(np.float32)
     ns, npr = tr.n_scalars, tr.n_properties
 
+    if ns == 0 and npr == 0 and tr.n_count > 0:
+        # Packed fast path: one scan over the record stream (native C when
+        # built, numpy otherwise) into flat [total, 3] voxel coords
+        payload = np.frombuffer(buf, "<f4", offset=pos)
+        from .. import native
+        clib = native.lib()
+        max_pts = max(0, (len(payload) - tr.n_count) // 3)
+        if clib is not None:
+            npts_out = np.empty(tr.n_count, np.int32)
+            pts = np.empty((max_pts, 3), np.float32)
+            vszc = np.ascontiguousarray(vsz)
+            payload_c = np.ascontiguousarray(payload)
+            got = clib.unpack_trk_records(
+                native.as_f32_ptr(payload_c), len(payload), 3, 0,
+                native.as_f32_ptr(vszc),
+                native.as_i32_ptr(npts_out), tr.n_count,
+                native.as_f32_ptr(pts), max_pts)
+            if got != tr.n_count:
+                raise ValueError(f"Malformed .trk record stream in "
+                                 f"{infile}")
+            total = int(npts_out.sum())
+            tr.set_packed(pts[:total], npts_out)
+        else:
+            ints = payload.view(np.int32)
+            counts = np.empty(tr.n_count, np.int32)
+            p = 0
+            for i in range(tr.n_count):
+                counts[i] = ints[p]
+                p += 1 + 3 * int(counts[i])
+            rec_off = np.zeros(tr.n_count, np.int64)
+            np.cumsum(1 + 3 * counts[:-1].astype(np.int64),
+                      out=rec_off[1:])
+            is_count = np.zeros(p, bool)
+            is_count[rec_off] = True
+            pts = payload[:p][~is_count].reshape(-1, 3) / vsz - 0.5
+            tr.set_packed(pts.astype(np.float32), counts)
+        tr.properties = np.zeros((0, tr.n_count), np.float32)
+        return tr
+
+    props_list = []
     for _ in range(tr.n_count):
         n = int(take("<i4", 1)[0])
         tr.npts.append(n)
@@ -344,13 +384,11 @@ def trk_read(infile: str) -> Tract:
         tr.xyz.append(
             np.ascontiguousarray((rec[:, 0:3] / vsz - 0.5).T))
         tr.scalars.append(np.ascontiguousarray(rec[:, 3:].T))
-        props = take("<f4", npr)
-        if tr.properties.size == 0:
-            tr.properties = props[:, None]
-        else:
-            tr.properties = np.hstack([tr.properties, props[:, None]])
+        props_list.append(take("<f4", npr))
 
-    if tr.properties.size == 0:
+    if props_list and npr > 0:
+        tr.properties = np.stack(props_list, axis=1)
+    else:
         tr.properties = np.zeros((npr, tr.n_count), np.float32)
 
     return tr
@@ -392,23 +430,32 @@ def _trk_write_packed(tr: Tract, outfile: str) -> bool:
     npts = np.asarray(tr.npts, np.int64)
     n = len(npts)
     total = int(npts.sum())
-    vsz = np.asarray(tr.voxel_size, np.float32)
+    vsz = np.ascontiguousarray(tr.voxel_size, np.float32)
 
-    # Record stream = [count_i, xyz...xyz] per line.  Build as one flat f32
-    # buffer: a boolean mask marks the count slots (bitcast int32); the
-    # complement takes the mm-converted points in order — two streaming
-    # passes at memory bandwidth, no giant index arithmetic.
+    # Record stream = [count_i, xyz...xyz] per line, with the voxel->mm
+    # conversion fused in.  Native single-pass interleave when the C
+    # helper built; otherwise two vectorized numpy passes over a boolean
+    # count-slot mask.
     with prof("trk.build_buffer"):
         out = np.empty(n + 3 * total, np.float32)
-        rec_off = np.empty(n, np.int64)
-        np.cumsum(1 + 3 * npts[:-1], out=rec_off[1:]) if n > 1 else None
-        rec_off[0] = 0
-        is_count = np.zeros(n + 3 * total, bool)
-        is_count[rec_off] = True
-        out.view(np.int32)[is_count] = npts.astype(np.int32)
-
-        pts_mm = (tr.packed_xyz + np.float32(0.5)) * vsz[None, :]
-        out[~is_count] = pts_mm.reshape(-1)
+        from .. import native
+        clib = native.lib()
+        if clib is not None:
+            npts32 = np.ascontiguousarray(npts, np.int32)
+            pts = np.ascontiguousarray(tr.packed_xyz, np.float32)
+            clib.pack_trk_records(
+                n, native.as_i32_ptr(npts32), native.as_f32_ptr(pts),
+                native.as_f32_ptr(vsz), native.as_f32_ptr(out))
+        else:
+            rec_off = np.empty(n, np.int64)
+            if n > 1:
+                np.cumsum(1 + 3 * npts[:-1], out=rec_off[1:])
+            rec_off[0] = 0
+            is_count = np.zeros(n + 3 * total, bool)
+            is_count[rec_off] = True
+            out.view(np.int32)[is_count] = npts.astype(np.int32)
+            pts_mm = (tr.packed_xyz + np.float32(0.5)) * vsz[None, :]
+            out[~is_count] = pts_mm.reshape(-1)
 
     header = _trk_header_bytes(tr)
     with prof("trk.file_write"):

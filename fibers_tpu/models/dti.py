@@ -128,6 +128,13 @@ def _adc_kernel(signals, A, ib0):
     return adc, s0
 
 
+# Column layout of the packed DTI result [N, 16]: one device->host fetch
+# instead of ten (small-transfer latency dominates on tunneled links)
+_DTI_COLS = dict(s0=(0, 1), eigval1=(1, 2), eigval2=(2, 3), eigval3=(3, 4),
+                 eigvec1=(4, 7), eigvec2=(7, 10), eigvec3=(10, 13),
+                 rd=(13, 14), md=(14, 15), fa=(15, 16))
+
+
 @partial(jax.jit, static_argnames=())
 def _dti_kernel(signals, A, ib0):
     d, valid = _masked_wls(signals, A, ib0)
@@ -138,20 +145,11 @@ def _dti_kernel(signals, A, ib0):
     l1, l2, l3 = evals[:, 0], evals[:, 1], evals[:, 2]
     rd, md, fa = dti_maps(l1, l2, l3)
 
-    v = valid
-    vz = valid[:, None]
-    return dict(
-        s0=jnp.where(v, s0, 0.0),
-        eigval1=jnp.where(v, l1, 0.0),
-        eigval2=jnp.where(v, l2, 0.0),
-        eigval3=jnp.where(v, l3, 0.0),
-        eigvec1=jnp.where(vz, evecs[:, :, 0], 0.0),
-        eigvec2=jnp.where(vz, evecs[:, :, 1], 0.0),
-        eigvec3=jnp.where(vz, evecs[:, :, 2], 0.0),
-        rd=jnp.where(v, rd, 0.0),
-        md=jnp.where(v, md, 0.0),
-        fa=jnp.where(v, fa, 0.0),
-    )
+    packed = jnp.concatenate([
+        s0[:, None], l1[:, None], l2[:, None], l3[:, None],
+        evecs[:, :, 0], evecs[:, :, 1], evecs[:, :, 2],
+        rd[:, None], md[:, None], fa[:, None]], axis=1)
+    return jnp.where(valid[:, None], packed, 0.0)
 
 
 def _prepare_batch(dwi: MRI, mask: MRI):
@@ -217,11 +215,13 @@ def dti_fit_ls(dwi: MRI, mask: MRI, batch=None) -> DTI:
     ib0 = (dwi.bval == dwi.bval.min()).astype(np.float32)
 
     with prof("dti.kernel"):
-        out = _dti_kernel(signals, jnp.asarray(A), jnp.asarray(ib0))
-        jax.block_until_ready(out)
+        packed = _dti_kernel(signals, jnp.asarray(A), jnp.asarray(ib0))
+        jax.block_until_ready(packed)
     from ..ops.transfer import to_host
     with prof("dti.fetch"):
-        out = {k: to_host(v)[:len(idx)] for k, v in out.items()}
+        arr = to_host(packed, n_lead=len(idx))
+    out = {k: (arr[:, lo] if hi - lo == 1 else arr[:, lo:hi])
+           for k, (lo, hi) in _DTI_COLS.items()}
 
     shape3 = mask.vol.shape[:3]
 

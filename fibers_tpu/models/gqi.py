@@ -183,8 +183,8 @@ def gqi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         odf = MRI.like(mask, nvert, np.float32)
         odf.vol = LazyVolume(odf_b, idx, shape3, nvert)
 
-        vecs_b = to_host(vecs_b)[:n]
-        qa_b = to_host(qa_b)[:n]
+        vecs_b = to_host(vecs_b, n_lead=n)
+        qa_b = to_host(qa_b, n_lead=n)
 
         peak, qa = [], []
         for ip in range(NPEAK):

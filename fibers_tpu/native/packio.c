@@ -1,0 +1,75 @@
+/* Native host-side byte assembly for fibers_tpu.
+ *
+ * The Python/numpy layer owns file formats and device math; these helpers
+ * cover the few host loops where numpy's generality costs real wall time
+ * on multi-hundred-MB buffers.  Built lazily by native/build.py with the
+ * system C compiler; fibers_tpu falls back to numpy when unavailable.
+ *
+ * pack_trk_records: interleave TrackVis streamline records
+ *   [int32 npts_i][float32 xyz*npts_i]... converting 0-based voxel coords
+ *   to 0.5-based mm ((v + 0.5) * voxel_size, reference: src/trk.jl:476)
+ *   in the same pass.  One streaming write, no intermediate copy.
+ *
+ * unpack_trk_records: the inverse scan used by trk_read — splits counts
+ *   and points and converts mm back to voxel coords
+ *   (reference: src/trk.jl:410-412).
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+void pack_trk_records(int64_t n, const int32_t *npts, const float *pts,
+                      const float *vsz, float *out)
+{
+    const float sx = vsz[0], sy = vsz[1], sz = vsz[2];
+    const float *src = pts;
+    float *dst = out;
+
+    for (int64_t i = 0; i < n; i++) {
+        int32_t m = npts[i];
+        memcpy(dst, &m, sizeof(int32_t));
+        dst++;
+        for (int32_t j = 0; j < m; j++) {
+            dst[0] = (src[0] + 0.5f) * sx;
+            dst[1] = (src[1] + 0.5f) * sy;
+            dst[2] = (src[2] + 0.5f) * sz;
+            dst += 3;
+            src += 3;
+        }
+    }
+}
+
+/* Returns the number of streamlines parsed, or -1 if the payload is
+ * malformed (counts walking past the end).  rec_floats = payload length
+ * in float32 units; stride_per_pt = 3 + n_scalars; n_properties floats
+ * trail each record. */
+int64_t unpack_trk_records(const float *payload, int64_t rec_floats,
+                           int32_t stride_per_pt, int32_t n_properties,
+                           const float *vsz,
+                           int32_t *npts_out, int64_t max_lines,
+                           float *pts_out, int64_t max_pts)
+{
+    const float sx = vsz[0], sy = vsz[1], sz = vsz[2];
+    int64_t pos = 0, line = 0, npt = 0;
+
+    while (pos < rec_floats && line < max_lines) {
+        int32_t m;
+        memcpy(&m, payload + pos, sizeof(int32_t));
+        pos++;
+        if (m < 0 || pos + (int64_t)m * stride_per_pt + n_properties
+                     > rec_floats)
+            return -1;
+        if (npt + m > max_pts)
+            return -1;
+        npts_out[line++] = m;
+        for (int32_t j = 0; j < m; j++) {
+            const float *p = payload + pos + (int64_t)j * stride_per_pt;
+            pts_out[npt * 3 + 0] = p[0] / sx - 0.5f;
+            pts_out[npt * 3 + 1] = p[1] / sy - 0.5f;
+            pts_out[npt * 3 + 2] = p[2] / sz - 0.5f;
+            npt++;
+        }
+        pos += (int64_t)m * stride_per_pt + n_properties;
+    }
+    return line;
+}

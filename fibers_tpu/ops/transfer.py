@@ -32,7 +32,7 @@ def _get_pool():
     return _pool
 
 
-def to_host(x) -> np.ndarray:
+def to_host(x, n_lead=None) -> np.ndarray:
     """Fetch a device array to host: flatten on device, fetch 1-D chunks
     in parallel, reshape on host.
 
@@ -42,8 +42,12 @@ def to_host(x) -> np.ndarray:
     [N, 3] array vs 15+ MB/s for the same bytes as 1-D.  reshape(-1)
     dispatches one on-device relayout copy (HBM-bandwidth, negligible) and
     makes the wire transfer linear.
+
+    `n_lead`: fetch only the first n_lead rows along axis 0.  The fetch
+    overreads to the next chunk boundary and trims host-side, so the set
+    of compiled device slice programs depends only on x's (bucketed)
+    shape, never on n_lead — no per-value recompiles.
     """
-    nbytes = x.size * x.dtype.itemsize
     if x.ndim == 0:
         return np.asarray(x)
 
@@ -52,20 +56,29 @@ def to_host(x) -> np.ndarray:
 
     flat = jnp.reshape(x, (-1,))
     n = flat.shape[0]
-    elems = max(1, _CHUNK_BYTES // max(1, x.dtype.itemsize))
-    if nbytes <= _CHUNK_BYTES or n <= elems:
-        return np.asarray(flat).reshape(shape)
+    row = 1
+    for s in shape[1:]:
+        row *= int(s)
+    n_need = n if n_lead is None else min(n, int(n_lead) * row)
+    out_shape = shape if n_lead is None else (min(int(n_lead), shape[0]),) \
+        + shape[1:]
 
-    # Aligned fixed-size chunks only (the tail chunk overreads into the
-    # final window and is trimmed host-side): keeps the set of device
-    # slice programs small and persistent-cacheable per input shape.
-    starts = list(range(0, n - elems + 1, elems))
-    if starts[-1] + elems < n:
-        starts.append(n - elems)
+    elems = max(1, _CHUNK_BYTES // max(1, x.dtype.itemsize))
+    if n <= elems:
+        return np.asarray(flat)[:n_need].reshape(out_shape)
+
+    # Aligned fixed-size chunks only: keeps the set of device slice
+    # programs small and persistent-cacheable per input shape.
+    nchunks = (n_need + elems - 1) // elems
+    starts = [i * elems for i in range(nchunks)]
+    if starts and starts[-1] + elems > n:
+        starts[-1] = n - elems
     chunks = [jax.lax.slice_in_dim(flat, i, i + elems) for i in starts]
     parts = list(_get_pool().map(np.asarray, chunks))
 
-    out = np.empty(n, x.dtype)
+    out = np.empty(n_need, x.dtype)
     for i, p in zip(starts, parts):
-        out[i:i + elems] = p
-    return out.reshape(shape)
+        m = min(elems, n_need - i)
+        if m > 0:
+            out[i:i + m] = p[:m]
+    return out.reshape(out_shape)

@@ -112,13 +112,17 @@ def _propagate_lcm(key, pos0, vec0, npts0, mask_flat, ovecs_flat, lcms_flat,
         dvox = dvox.at[:, a].set(
             jnp.where(is_diag & ~faster_b, 0, dvox[:, a]))
 
-        entry = jnp.argmax(
-            (dvox[:, :, None] == dxyz[None, :, :]).all(axis=1), axis=1)
+        edge_match = (dvox[:, :, None] == dxyz[None, :, :]).all(axis=1)
+        entry = jnp.argmax(edge_match, axis=1)
+        # No matching edge (through-plane or >1-voxel jump): the reference
+        # leaves entryedgetype unset, which zeroes every LCM element and
+        # terminates the stream (reference: src/stream.jl:414-446, 488-494)
+        matched = edge_match.any(axis=1)
 
         lcm = lcms_flat[flat]                       # [S, 10]
         pair_has_entry = ((edget[0][None, :] == entry[:, None])
                           | (edget[1][None, :] == entry[:, None]))
-        lcm = jnp.where(pair_has_entry, lcm, 0.0)
+        lcm = jnp.where(pair_has_entry & matched[:, None], lcm, 0.0)
 
         total = lcm.sum(axis=1)
         havelcm = total > 0
@@ -147,7 +151,10 @@ def _propagate_lcm(key, pos0, vec0, npts0, mask_flat, ovecs_flat, lcms_flat,
 
         ok = active & inb & inmask & okpick & ok_ang
 
-        isdiff = (~same_vox) & (ivec_next != ivec_ang)
+        # Method-difference flag: LCM choice vs conventional angle choice,
+        # in BOTH branches (the reference computes it after pick_by_lcm
+        # regardless of the same-voxel shortcut, src/stream.jl:530-536)
+        isdiff = ivec_next != ivec_ang
 
         save = ok
         npts = npts + save.astype(jnp.int32)

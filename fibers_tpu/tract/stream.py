@@ -53,6 +53,9 @@ class StreamConfig:
     verbose: bool = False
     seed_rng: int = 0
     chunk: int = 1 << 17
+    # Transfer the propagated points exactly (float32) instead of the
+    # default 1/256-voxel fixed-point wire encoding used on accelerators
+    exact_points: bool = False
 
 
 # ------------------------------------------------------------------ #
@@ -166,8 +169,17 @@ def propagate_chunk(seeds, subs, mask_flat, ovecs_flat, shape3, nsteps,
 # Device-side compaction + host assembly
 # ------------------------------------------------------------------ #
 
-@partial(jax.jit, static_argnames=("cap",))
-def _compact(fwd_pts, bwd_pts, fwd_n, bwd_n, keep, line_off, cap):
+# uint16 fixed-point encoding for the point transfer: 1/256-voxel
+# resolution with a +2-voxel offset (supports coords in [-2, 254)).  The
+# wire error is <= 1/512 voxel — orders of magnitude below the 0.5-voxel
+# integration step — and halves the bytes on the slow device->host link.
+_QSCALE = 256.0
+_QOFF = 2.0
+
+
+@partial(jax.jit, static_argnames=("cap", "quantize"))
+def _compact(fwd_pts, bwd_pts, fwd_n, bwd_n, keep, line_off, cap,
+             quantize=False):
     """Scatter saved points into their final ragged line layout on device.
 
     Lines are reversed-forward-prefix then backward-prefix (the reference's
@@ -189,25 +201,21 @@ def _compact(fwd_pts, bwd_pts, fwd_n, bwd_n, keep, line_off, cap):
         fwd_pts.reshape(-1, 3), mode="drop", unique_indices=True)
     out = out.at[dst_b.reshape(-1)].set(
         bwd_pts.reshape(-1, 3), mode="drop", unique_indices=True)
+    if quantize:
+        out = jnp.round((out + _QOFF) * _QSCALE).astype(jnp.uint16)
     return out
 
 
-def _assemble_device(fwd_pts, fwd_n_dev, bwd_n_dev, bwd_pts, len_min,
-                     fetch_pool=None):
-    """Count-fetch + device compaction + minimal transfer.
+def _compact_chunk(fwd_pts, bwd_pts, fwd_n, bwd_n, fwd_n_dev, bwd_n_dev,
+                   len_min, quantize):
+    """Device compaction of one propagated chunk given host-side counts.
 
-    Returns (flat_pts [total, 3] host array OR a Future of it when
-    `fetch_pool` is given, npts [nkept]).  With a pool, the big point
-    fetch runs on a background thread so it overlaps with the device
-    compute of subsequent chunks."""
-    with prof("stream.counts_fetch"):
-        fwd_n = np.asarray(fwd_n_dev)
-        bwd_n = np.asarray(bwd_n_dev)
+    Returns (compacted device buffer [cap, 3], total, npts [nkept]) or
+    (None, 0, empty) when nothing survives the length filter."""
     tot = fwd_n + bwd_n
     keep = tot >= len_min
     if not keep.any():
-        empty = np.zeros((0, 3), np.float32)
-        return empty, np.zeros(0, np.int32)
+        return None, 0, np.zeros(0, np.int32)
 
     npts = tot[keep]
     total = int(npts.sum())
@@ -220,18 +228,21 @@ def _assemble_device(fwd_pts, fwd_n_dev, bwd_n_dev, bwd_pts, len_min,
     with prof("stream.compact_dispatch"):
         out = _compact(fwd_pts, bwd_pts, fwd_n_dev, bwd_n_dev,
                        jnp.asarray(keep), jnp.asarray(off_all, jnp.int32),
-                       cap)
-        sliced = out[:total]
+                       cap, quantize)
+    return out, total, npts.astype(np.int32)
 
+
+def _fetch_points(buf, total, quantize):
+    """Fetch a compacted point buffer and decode the fixed-point wire
+    format if used."""
     from ..ops.transfer import to_host
 
-    def fetch():
-        with prof("stream.points_fetch"):
-            return to_host(sliced)
-
-    if fetch_pool is not None:
-        return fetch_pool.submit(fetch), npts.astype(np.int32)
-    return fetch(), npts.astype(np.int32)
+    with prof("stream.points_fetch"):
+        raw = to_host(buf, n_lead=total)
+    if quantize:
+        return raw.astype(np.float32) / np.float32(_QSCALE) - \
+            np.float32(_QOFF)
+    return raw
 
 def _assemble(fwd_pts, fwd_n, bwd_pts, bwd_n, len_min):
     """Vectorized ragged assembly: reversed forward prefix + backward prefix
@@ -420,12 +431,12 @@ def stream(ovec: Union[MRI, List[MRI]], *, f=None, fa: Optional[MRI] = None,
     nsteps = int(len_max) + 2
     cosang_thresh = float(np.cos(np.radians(ang_thresh)))
 
-    # Software pipeline over seed chunks: propagate(i+1) is dispatched
-    # before chunk i is assembled, and each chunk's big point fetch runs
-    # on a background thread — so the slow device->host wire time overlaps
-    # with on-device propagation of later chunks.
-    from concurrent.futures import ThreadPoolExecutor
-
+    # Phased execution over seed chunks, shaped around the tunnel-slow
+    # device link: (1) dispatch ALL propagations (device queue drains at
+    # compute speed), (2) fetch the small per-chunk counts as each chunk
+    # completes, (3) dispatch all compactions (freeing the big point
+    # buffers), (4) fetch the compacted points with the wire to itself —
+    # no contention between the big fetches and anything else.
     def launch(lo):
         hi = min(lo + cfg.chunk, len(seeds_all))
         seeds_c, subs_c = seeds_all[lo:hi], subs_all[lo:hi]
@@ -443,21 +454,34 @@ def stream(ovec: Union[MRI, List[MRI]], *, f=None, fa: Optional[MRI] = None,
                 shape3, nsteps, float(step_size), cosang_thresh,
                 float(smooth_coeff), int(len_max))
 
+    # Wire quantization: exact on CPU (and on volumes too large for the
+    # u16 range); 1/256-voxel fixed point on accelerators unless the user
+    # opts out via cfg.exact_points.
+    quantize = (not cfg.exact_points
+                and jax.default_backend() != "cpu"
+                and max(shape3) < 250)
+
     starts = list(range(0, len(seeds_all), cfg.chunk))
+    results = [launch(lo) for lo in starts]
+
+    counts = []
+    with prof("stream.counts_fetch"):
+        for (_, fn, _, bn) in results:
+            counts.append((np.asarray(fn), np.asarray(bn)))
+
+    bufs = []
+    for i, ((fp, fn_d, bp, bn_d), (fn, bn)) in enumerate(
+            zip(results, counts)):
+        bufs.append(_compact_chunk(fp, bp, fn, bn, fn_d, bn_d,
+                                   cfg.len_min, quantize))
+        results[i] = None     # release the raw point buffers
+
     flat_parts, npts_parts = [], []
-    with ThreadPoolExecutor(1) as fetch_pool:
-        pending = launch(starts[0]) if starts else None
-        for i in range(len(starts)):
-            nxt = launch(starts[i + 1]) if i + 1 < len(starts) else None
-            fwd_pts, fwd_n, bwd_pts, bwd_n = pending
-            flat, npts = _assemble_device(fwd_pts, fwd_n, bwd_n, bwd_pts,
-                                          cfg.len_min,
-                                          fetch_pool=fetch_pool)
-            flat_parts.append(flat)
-            npts_parts.append(npts)
-            pending = nxt
-        flat_parts = [p.result() if hasattr(p, "result") else p
-                      for p in flat_parts]
+    for buf, total, npts_c in bufs:
+        if buf is None:
+            continue
+        flat_parts.append(_fetch_points(buf, total, quantize))
+        npts_parts.append(npts_c)
 
     flat_pts = np.concatenate(flat_parts) if flat_parts else \
         np.zeros((0, 3), np.float32)

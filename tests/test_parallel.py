@@ -82,7 +82,5 @@ class TestShardedFitMatchesLocal:
                                      NamedSharding(mesh, P("data")))
         sharded = _dti_kernel(sig_sharded, jnp.asarray(A), jnp.asarray(ib0))
 
-        for k in local:
-            np.testing.assert_allclose(np.asarray(local[k]),
-                                       np.asarray(sharded[k]),
-                                       rtol=1e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(local), np.asarray(sharded),
+                                   rtol=1e-4, atol=2e-5)

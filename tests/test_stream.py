@@ -229,3 +229,72 @@ class TestLCMMode:
         # method-difference scalars recorded per point
         assert tr.n_scalars == 1
         assert tr.scalars[0].shape[1] == pts.shape[0]
+
+    def test_lcm_transition_frequencies(self):
+        """Distributional parity: with an LCM opening the straight x
+        connection at weight 0.7 and the +y turn at 0.3, the observed
+        per-voxel-entry turn frequency matches the weights
+        (reference: src/stream.jl:449-452 samples Categorical(lcm))."""
+        nx, ny = 48, 200
+        shape = (nx, ny, 1)
+        # two orientation vector sets: +x and +y, everywhere in-plane
+        vx = np.zeros(shape + (3,), np.float32)
+        vx[..., 0] = 1.0
+        # break the x-only degeneracy so the through-plane dimension is
+        # detected as z, not y (the reference's thrudim = the all-zero
+        # component of ovecs[1], src/stream.jl:224-226)
+        vx[nx - 1, ny - 1, 0, 1] = 1e-3
+        vy = np.zeros(shape + (3,), np.float32)
+        vy[..., 1] = 1.0
+
+        def mk(v, nfr=3):
+            m = ft.MRI(vol=v)
+            m.vox2ras0 = np.eye(4, dtype=np.float32)
+            m.volsize = np.asarray(shape)
+            m.width, m.height, m.depth = shape
+            m.nframes = nfr
+            m.set_geometry()
+            return m
+
+        ovx, ovy = mk(vx), mk(vy)
+        mask = np.ones(shape, bool)
+        # seeds on the x=0 column: backward (-x) exits the grid instantly,
+        # so every counted x-step is a forward draw
+        seedm = np.zeros(shape, bool)
+        seedm[0, :, 0] = True
+
+        # edge ids (0-based): 0=-x, 1=-y, 2=+x, 3=+y; vectorized LCM pair
+        # order [(0,0),(0,1),(0,2),(0,3),(1,1),(1,2),(1,3),(2,2),(2,3),
+        # (3,3)].  Entry from -x: straight (0,2)=0.7, turn (0,3)=0.3;
+        # entry from -y: straight (1,3)=1.0 (so turned streams keep going
+        # +y and never draw in x again).
+        lcm = np.zeros(shape + (10,), np.float32)
+        lcm[..., 2] = 0.7
+        lcm[..., 3] = 0.3
+        lcm[..., 6] = 1.0
+        lcmm = mk(lcm, nfr=10)
+
+        tr = ft.stream([ovx, ovy], mask=_mask_mri(ovx, mask),
+                       seed=_mask_mri(ovx, seedm), lcms=lcmm,
+                       nsub=0, step_size=1.0, smooth_coeff=0.0,
+                       len_max=300, seed_rng=3)
+
+        tr.materialize()
+        turns = 0
+        x_entries = 0
+        for m in tr.xyz:
+            p = np.asarray(m).T
+            d = np.diff(p, axis=0)
+            d = d[np.abs(d).sum(axis=1) > 1e-6]
+            is_x = np.abs(d[:, 0]) > np.abs(d[:, 1])
+            x_entries += int(is_x.sum())
+            # a turn: the line has both x- and y-direction segments
+            if is_x.any() and (~is_x).any():
+                turns += 1
+        # each x-step is one Bernoulli(0.3) draw that either continues
+        # straight or turns (ending the x run)
+        assert x_entries > 400
+        p_hat = turns / x_entries
+        sigma = np.sqrt(0.3 * 0.7 / x_entries)
+        assert abs(p_hat - 0.3) < max(4 * sigma, 0.05), \
+            f"turn rate {p_hat:.3f} vs 0.3 (n={x_entries})"
