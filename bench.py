@@ -53,12 +53,29 @@ def make_brain(shape=(140, 140, 92), ndir=198, seed=0):
     ax = np.stack([np.cos(ph) * np.cos(th), np.cos(ph) * np.sin(th),
                    np.sin(ph)], axis=-1).astype(np.float32)
 
-    # DWI signal from a single tensor per voxel, vectorized
-    lp, lt = 1.7e-3, 0.2e-3
+    # Spatially varying anisotropy: white-matter-like core (high FA) to
+    # gray-matter-like rim (low FA), so fa_thresh exercises the mask path
+    r2 = x ** 2 + y ** 2 + z ** 2
+    frac = np.clip(1.2 - 1.1 * r2, 0.05, 1.0).astype(np.float32)
+    md = 0.7e-3
+    lp = md + 2.0 * md * (2.0 / 3.0) * frac       # axial
+    lt = md - md * (2.0 / 3.0) * frac             # radial
+
+    # DWI signal, vectorized; a central slab adds a second crossing fiber
+    # (90-degree rotated in-plane) so GQI's multi-peak path runs honestly
     dots = np.einsum("xyzi,vi->xyzv", ax, bvec)
-    quad = lt + (lp - lt) * dots ** 2
+    quad = lt[..., None] + (lp - lt)[..., None] * dots ** 2
     s0 = 100.0
-    vol = (s0 * np.exp(-bval[None, None, None, :] * quad)).astype(np.float32)
+    sig1 = np.exp(-bval[None, None, None, :] * quad)
+
+    cross = (np.abs(y) < 0.25) & (np.abs(z) < 0.4)
+    ax2 = np.stack([-ax[..., 1], ax[..., 0], ax[..., 2]], axis=-1)
+    dots2 = np.einsum("xyzi,vi->xyzv", ax2, bvec)
+    quad2 = lt[..., None] + (lp - lt)[..., None] * dots2 ** 2
+    sig2 = np.exp(-bval[None, None, None, :] * quad2)
+    w = np.where(cross, 0.5, 0.0).astype(np.float32)[..., None]
+    vol = (s0 * ((1.0 - w) * sig1 + w * sig2)).astype(np.float32)
+
     vol *= mask[..., None]
     noise = rng.standard_normal(vol.shape).astype(np.float32) * 2.0
     vol = np.abs(vol + noise * mask[..., None])

@@ -1,0 +1,189 @@
+"""Model-level benchmarks for BASELINE.md configs 3 and 4.
+
+  python benchmarks/bench_models.py --config 3   # DSI, 96^3 multi-shell
+  python benchmarks/bench_models.py --config 4   # RUMBA-SD + structure
+                                                 # tensor, HCP resolution
+
+Each run prints one JSON line (same shape as bench.py).  --small shrinks
+the problem for CPU smoke runs.  Results are recorded in BASELINE.md.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import os
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("FIBERS_JAX_CACHE", "/tmp/fibers_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def _geometry(shape, res=1.5):
+    import fibers_tpu as ft
+
+    nx, ny, nz = shape
+    x, y, z = np.meshgrid(
+        np.linspace(-1, 1, nx), np.linspace(-1, 1, ny),
+        np.linspace(-1, 1, nz), indexing="ij")
+    mask = (x ** 2 / 0.81 + y ** 2 / 0.81 + z ** 2 / 0.92) < 1.0
+
+    th = 0.8 * x + 1.3 * y
+    ph = 1.1 * z + 0.5 * x
+    ax = np.stack([np.cos(ph) * np.cos(th), np.cos(ph) * np.sin(th),
+                   np.sin(ph)], axis=-1).astype(np.float32)
+    return mask, ax
+
+
+def _mri_of(vol, shape, bval, bvec, res=1.5):
+    import fibers_tpu as ft
+
+    dwi = ft.MRI(vol=vol)
+    dwi.vox2ras0 = np.diag([res, res, res, 1.0]).astype(np.float32)
+    dwi.volsize = np.asarray(shape)
+    dwi.width, dwi.height, dwi.depth = shape
+    dwi.nframes = vol.shape[3]
+    dwi.set_geometry()
+    dwi.bval, dwi.bvec = bval, bvec
+    return dwi
+
+
+def _signal(mask, ax, bval, bvec, rng):
+    lp, lt = 1.7e-3, 0.3e-3
+    dots = np.einsum("xyzi,vi->xyzv", ax, bvec.astype(np.float32))
+    quad = lt + (lp - lt) * dots ** 2
+    vol = (100.0 * np.exp(-bval[None, None, None, :] * quad)).astype(
+        np.float32)
+    vol *= mask[..., None]
+    vol = np.abs(vol + 2.0 * rng.standard_normal(vol.shape).astype(
+        np.float32) * mask[..., None])
+    return vol
+
+
+def dsi_qgrid(radius=5):
+    """Cartesian q-space sampling within a ball, DSI-style: b scales with
+    |q|^2 (reference grid layout: src/dsi.jl:61-85)."""
+    r = np.arange(-radius, radius + 1)
+    gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
+    q = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.float64)
+    keep = (q ** 2).sum(axis=1) <= radius ** 2
+    q = q[keep]
+    bmax = 8000.0
+    bval = ((q ** 2).sum(axis=1) / radius ** 2 * bmax).astype(np.float32)
+    norm = np.sqrt((q ** 2).sum(axis=1))
+    bvec = np.where(norm[:, None] > 0, q / np.maximum(norm, 1)[:, None],
+                    0.0).astype(np.float32)
+    # exact grid consistency: bvec*sqrt(bval) lands on integer multiples
+    bvec = np.where(norm[:, None] > 0,
+                    q / np.sqrt((q ** 2).sum(axis=1))[:, None], 0.0)
+    bval = (q ** 2).sum(axis=1) * (bmax / radius ** 2)
+    return bval.astype(np.float32), bvec.astype(np.float32)
+
+
+def bench_dsi(small):
+    import fibers_tpu as ft
+
+    rng = np.random.default_rng(0)
+    shape = (32, 32, 20) if small else (96, 96, 96)
+    radius = 3 if small else 5
+
+    bval, bvec = dsi_qgrid(radius)
+    sys.stderr.write(f"DSI grid: {len(bval)} q-space samples\n")
+    mask, ax = _geometry(shape)
+    vol = _signal(mask, ax, bval, bvec, rng)
+    dwi = _mri_of(vol, shape, bval, bvec)
+    import fibers_tpu as ft
+    maskm = ft.MRI.like(dwi, 1, np.float32)
+    maskm.vol = mask.astype(np.float32)
+
+    nmask = int(mask.sum())
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        dsi = ft.dsi_rec(dwi, maskm, ft.sphere_642)
+        # materialize peaks only (odf/pdf stay lazy, like a pipeline user)
+        np.asarray(dsi.peak[0].vol)
+        times.append(time.time() - t0)
+        sys.stderr.write(f"dsi_rec: {times[-1]:.1f}s "
+                         f"({nmask / times[-1]:.0f} vox/s)\n")
+    return {
+        "metric": "dsi_rec_96cube_multishell" if not small else
+        "dsi_rec_small",
+        "value": round(min(times), 3),
+        "unit": "seconds",
+        "vox_per_sec": round(nmask / min(times)),
+    }
+
+
+def bench_rumba(small):
+    import fibers_tpu as ft
+
+    rng = np.random.default_rng(0)
+    shape = (32, 32, 20) if small else (140, 140, 92)
+    ndir = 32 if small else 270
+    niter = 60 if small else 600
+
+    nb0 = 2 if small else 18
+    nsh = ndir - nb0
+    i = np.arange(nsh)
+    phi = np.pi * (3.0 - np.sqrt(5.0)) * i
+    zz = 1 - 2 * (i + 0.5) / nsh
+    r = np.sqrt(1 - zz * zz)
+    dirs = np.stack([r * np.cos(phi), r * np.sin(phi), zz], axis=1)
+    bval = np.concatenate([np.zeros(nb0), np.full(nsh, 3000.0)]).astype(
+        np.float32)
+    bvec = np.concatenate([np.zeros((nb0, 3)), dirs]).astype(np.float32)
+
+    mask, ax = _geometry(shape)
+    vol = _signal(mask, ax, bval, bvec, rng)
+    dwi = _mri_of(vol, shape, bval, bvec)
+    maskm = ft.MRI.like(dwi, 1, np.float32)
+    maskm.vol = mask.astype(np.float32)
+    nmask = int(mask.sum())
+
+    t0 = time.time()
+    rum = ft.rumba_rec(dwi, maskm, ft.sphere_724, niter=niter)
+    np.asarray(rum.peak[0].vol)   # materialize peaks; fodf stays lazy
+    t_rumba = time.time() - t0
+    sys.stderr.write(f"rumba_rec {niter} iters: {t_rumba:.1f}s "
+                     f"snr={rum.snr_mean:.1f}\n")
+    assert np.isfinite(rum.gfa.vol).all()
+
+    # structure tensor on the mean DWI volume (config 4 pairs them)
+    t1 = time.time()
+    evecs, evals = ft.st_recon(vol.mean(axis=3), sigma=1.0, rho=2.0)
+    t_st = time.time() - t1
+    assert np.isfinite(evals).all()
+    sys.stderr.write(f"st_recon: {t_st:.1f}s\n")
+
+    return {
+        "metric": "rumba600_plus_structens_hcp" if not small else
+        "rumba_small",
+        "value": round(t_rumba + t_st, 3),
+        "unit": "seconds",
+        "rumba_s": round(t_rumba, 3),
+        "structens_s": round(t_st, 3),
+        "vox_iters_per_sec": round(nmask * niter / t_rumba),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, required=True, choices=(3, 4))
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+
+    if args.config == 3:
+        out = bench_dsi(args.small)
+    else:
+        out = bench_rumba(args.small)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

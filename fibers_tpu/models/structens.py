@@ -105,8 +105,9 @@ def st_eigen(sxx, sxy, sxz, syy, syz, szz):
                    jnp.asarray(syy), jnp.asarray(syz), jnp.asarray(szz)],
                   axis=-1)
     from ..ops.eig3 import eigh3
+    from ..ops.transfer import to_host
     evals, evecs = eigh3(u)
-    return np.asarray(evecs[..., ::-1]), np.asarray(evals[..., ::-1])
+    return to_host(evecs[..., ::-1]), to_host(evals[..., ::-1])
 
 
 def st_recon(vol: np.ndarray, sigma: float, rho: float):
@@ -116,6 +117,14 @@ def st_recon(vol: np.ndarray, sigma: float, rho: float):
 
     Returns (eigvec [X,Y,Z,3,3], eigval [X,Y,Z,3]), eigenvalues ascending.
     """
-    vol = jnp.asarray(np.asarray(vol, np.float32))
-    evecs, evals = _st_kernel(vol, float(sigma), float(rho))
-    return np.asarray(evecs), np.asarray(evals)
+    from ..ops.transfer import to_host
+    from ..utils.profiling import prof
+
+    v = np.asarray(vol, np.float32)
+    if v.ndim == 4:
+        v = v[..., 0]
+    with prof("structens.kernel"):
+        evecs, evals = _st_kernel(jnp.asarray(v), float(sigma), float(rho))
+        jax.block_until_ready(evals)
+    with prof("structens.fetch"):
+        return to_host(evecs), to_host(evals)

@@ -35,11 +35,17 @@ def _build() -> str | None:
         return so
     cc = os.environ.get("CC", "cc")
     tmp = so + f".tmp.{os.getpid()}"
-    cmd = [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
+    base = [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        # OpenMP when available (gcc/clang); plain build as fallback
+        subprocess.run(base + ["-fopenmp"], check=True,
+                       capture_output=True, timeout=120)
     except Exception:
-        return None
+        try:
+            subprocess.run(base, check=True, capture_output=True,
+                           timeout=120)
+        except Exception:
+            return None
     os.replace(tmp, so)
     return so
 
@@ -81,6 +87,16 @@ def lib():
         ]
         cdll.unpack_trk_records.restype = ctypes.c_int64
 
+        cdll.decode_delta_lines.argtypes = [
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        cdll.decode_delta_lines.restype = None
+
         _lib = cdll
         return _lib
 
@@ -91,3 +107,11 @@ def as_f32_ptr(a):
 
 def as_i32_ptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def as_i64_ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def as_i8_ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))

@@ -39,6 +39,32 @@ void pack_trk_records(int64_t n, const int32_t *npts, const float *pts,
     }
 }
 
+/* Decode int8 error-feedback delta streams into float32 positions:
+ * out[j] = anchor_line + (integer running sum of deltas) * inv_scale.
+ * Lines are independent (parallelized when OpenMP is available). */
+void decode_delta_lines(const int8_t *q, const int64_t *off,
+                        const int32_t *npts, const float *anchors,
+                        int64_t nlines, float inv_scale, float *out)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < nlines; i++) {
+        int64_t j = off[i];
+        const int8_t *src = q + j * 3;
+        float *dst = out + j * 3;
+        const float ax = anchors[i * 3], ay = anchors[i * 3 + 1],
+                    az = anchors[i * 3 + 2];
+        int32_t cx = 0, cy = 0, cz = 0;
+        for (int32_t k = 0; k < npts[i]; k++) {
+            cx += src[0]; cy += src[1]; cz += src[2];
+            dst[0] = ax + cx * inv_scale;
+            dst[1] = ay + cy * inv_scale;
+            dst[2] = az + cz * inv_scale;
+            src += 3;
+            dst += 3;
+        }
+    }
+}
+
 /* Returns the number of streamlines parsed, or -1 if the payload is
  * malformed (counts walking past the end).  rec_floats = payload length
  * in float32 units; stride_per_pt = 3 + n_scalars; n_properties floats

@@ -54,7 +54,11 @@ def to_host(x, n_lead=None) -> np.ndarray:
     shape = x.shape
     import jax.numpy as jnp
 
-    flat = jnp.reshape(x, (-1,))
+    # NB: on this runtime an eager reshape of a large narrow-minor-dim
+    # array materializes its tiled T(8,128) padded form (42.7x memory for
+    # [N,3]!).  Already-1D inputs skip the copy; producers of large wire
+    # buffers should emit them flat from inside their jit.
+    flat = x if x.ndim == 1 else jnp.reshape(x, (-1,))
     n = flat.shape[0]
     row = 1
     for s in shape[1:]:

@@ -79,7 +79,7 @@ def full_recon_step(signals, rumba_signal, fodf, sig2, seeds, seed_vecs,
 
     # --- a block of streamline-integration steps ---
     from ..tract.stream import _propagate
-    pts, saved, npts = _propagate(
+    pts, saved, npts, _anchor = _propagate(
         seeds, seed_vecs, jnp.zeros(seeds.shape[0], jnp.int32),
         mask_flat, ovecs_flat, 8, shape3, 0.5,
         float(np.cos(np.radians(45.0))), 0.2, 64)

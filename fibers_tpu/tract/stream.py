@@ -87,20 +87,29 @@ def _pick_by_angle(vec_now, vecs):
     return vnext, ok, ivec
 
 
-@partial(jax.jit, static_argnames=("nsteps", "shape3"))
+@partial(jax.jit, static_argnames=("nsteps", "shape3", "emit", "qscale"))
 def _propagate(pos0, vec0, npts0, mask_flat, ovecs_flat, nsteps, shape3,
-               step_size, cosang_thresh, smooth_coeff, len_max):
+               step_size, cosang_thresh, smooth_coeff, len_max,
+               emit="points", qscale=254.0):
     """Lockstep propagation of one direction for S streams.
 
-    Returns (points [nsteps, S, 3], saved [nsteps, S], npts_total [S]).
-    `npts0` carries the running per-line point count (forward pass result
-    when propagating backward), so the shared length budget matches the
-    reference's single npts counter across both directions
-    (reference: src/stream.jl:648-686).
+    Returns (out [nsteps, S, 3], saved [nsteps, S], npts_total [S],
+    anchor [S, 3]).  `npts0` carries the running per-line point count
+    (forward pass result when propagating backward), so the shared length
+    budget matches the reference's single npts counter across both
+    directions (reference: src/stream.jl:648-686).
+
+    emit="points": out is the saved float32 positions (exact path).
+    emit="deltas": out is int8 error-feedback quantized step deltas at
+    1/qscale-voxel resolution — the quantizer carries the decoded
+    position, so reconstruction error is bounded by 1/qscale at EVERY
+    point (no drift), and the wire cost is 1 byte per coordinate.
+    `anchor` is the quantized chain's final position = the line's most
+    distal point, exact up to the same bound.
     """
 
     def step(carry, _):
-        pos, vec, npts, active = carry
+        pos, vec, pos_q, npts, active = carry
 
         pos_next = pos + vec * step_size
         ipos = jnp.round(pos_next).astype(jnp.int32)
@@ -116,6 +125,14 @@ def _propagate(pos0, vec0, npts0, mask_flat, ovecs_flat, nsteps, shape3,
         save = ok
         npts = npts + save.astype(jnp.int32)
 
+        if emit == "deltas":
+            d = jnp.clip(jnp.round((pos - pos_q) * qscale), -127.0, 127.0)
+            d = jnp.where(save[:, None], d, 0.0)
+            pos_q = pos_q + d * (1.0 / qscale)
+            out = d.astype(jnp.int8)
+        else:
+            out = pos
+
         # Post-save stopping rules
         cosang = (vec * vnext).sum(axis=1)
         cont = save & (cosang >= cosang_thresh) & (npts <= len_max)
@@ -129,21 +146,24 @@ def _propagate(pos0, vec0, npts0, mask_flat, ovecs_flat, nsteps, shape3,
         pos_out = jnp.where(cont[:, None], pos_next, pos)
         vec_out = jnp.where(cont[:, None], vsm, vec)
 
-        return (pos_out, vec_out, npts, cont), (pos, save)
+        return (pos_out, vec_out, pos_q, npts, cont), (out, save)
 
     active0 = jnp.ones(pos0.shape[0], bool)
-    (pos, vec, npts, active), (points, saved) = jax.lax.scan(
-        step, (pos0, vec0, npts0, active0), None, length=nsteps)
-    return points, saved, npts
+    (pos, vec, pos_q, npts, active), (outs, saved) = jax.lax.scan(
+        step, (pos0, vec0, pos0, npts0, active0), None, length=nsteps)
+    return outs, saved, npts, pos_q
 
 
 def propagate_chunk(seeds, subs, mask_flat, ovecs_flat, shape3, nsteps,
-                    step_size, cosang_thresh, smooth_coeff, len_max):
+                    step_size, cosang_thresh, smooth_coeff, len_max,
+                    emit="points", qscale=254.0):
     """Run forward+backward propagation for a chunk of seed positions.
 
     seeds: [S, 3] float voxel positions (seed voxel + subvoxel offset).
-    Returns (fwd_pts, fwd_n, bwd_pts, bwd_n) with pts [T, S, 3] and the
-    per-stream saved counts.
+    Returns (fwd_out, fwd_n, bwd_out, bwd_n, fwd_anchor_flat) with out
+    [T, S, 3] (f32 points or i8 deltas per `emit`), the per-stream saved
+    counts, and the forward chain's final quantized position flattened
+    [3*S] (the line anchor for delta decoding).
     """
     pos0 = jnp.asarray(seeds + subs, jnp.float32)
     ivox = jnp.round(pos0).astype(jnp.int32)
@@ -153,69 +173,112 @@ def propagate_chunk(seeds, subs, mask_flat, ovecs_flat, shape3, nsteps,
     v0 = ovecs_flat[flat][:, 0, :]
 
     zero = jnp.zeros(pos0.shape[0], jnp.int32)
-    fwd_pts, fwd_saved, npts_f = _propagate(
+    fwd_out, fwd_saved, npts_f, fwd_q = _propagate(
         pos0, v0, zero, mask_flat, ovecs_flat, nsteps, shape3,
-        step_size, cosang_thresh, smooth_coeff, len_max)
-    bwd_pts, bwd_saved, npts_t = _propagate(
+        step_size, cosang_thresh, smooth_coeff, len_max, emit, qscale)
+    bwd_out, bwd_saved, npts_t, _bwd_q = _propagate(
         pos0, -v0, npts_f, mask_flat, ovecs_flat, nsteps, shape3,
-        step_size, cosang_thresh, smooth_coeff, len_max)
+        step_size, cosang_thresh, smooth_coeff, len_max, emit, qscale)
 
     fwd_n = fwd_saved.sum(axis=0).astype(jnp.int32)
     bwd_n = bwd_saved.sum(axis=0).astype(jnp.int32)
-    return fwd_pts, fwd_n, bwd_pts, bwd_n
+    anchor = _flatten3(fwd_q)
+    return fwd_out, fwd_n, bwd_out, bwd_n, anchor
+
+
+@jax.jit
+def _flatten3(x):
+    """[S, 3] -> [3*S] inside a jit (eager reshape of narrow-minor-dim
+    arrays materializes their tiled padded layout on this runtime)."""
+    return x.reshape(-1)
 
 
 # ------------------------------------------------------------------ #
 # Device-side compaction + host assembly
 # ------------------------------------------------------------------ #
 
-# uint16 fixed-point encoding for the point transfer: 1/256-voxel
-# resolution with a +2-voxel offset (supports coords in [-2, 254)).  The
-# wire error is <= 1/512 voxel — orders of magnitude below the 0.5-voxel
-# integration step — and halves the bytes on the slow device->host link.
-_QSCALE = 256.0
-_QOFF = 2.0
+# int8 error-feedback delta encoding for the point transfer: each saved
+# point is reconstructed as anchor + cumulative quantized deltas at
+# 1/_QSCALE-voxel resolution; the propagation carries the decoded chain,
+# so the error at EVERY point is bounded by ~2/_QSCALE voxels (no drift).
+# One byte per coordinate instead of four on the slow device->host link.
+_QSCALE = 254.0
 
 
-@partial(jax.jit, static_argnames=("cap", "quantize"))
-def _compact(fwd_pts, bwd_pts, fwd_n, bwd_n, keep, line_off, cap,
-             quantize=False):
-    """Scatter saved points into their final ragged line layout on device.
+@partial(jax.jit, static_argnames=("cap", "mode"))
+def _compact(fwd_out, bwd_out, fwd_n, bwd_n, keep, line_off, cap,
+             mode="f32"):
+    """Scatter one propagated chunk into its final ragged line layout on
+    device and emit a FLAT wire buffer.
 
-    Lines are reversed-forward-prefix then backward-prefix (the reference's
-    prepend/append order).  Points of dropped/invalid slots scatter out of
-    bounds and are dropped, so only `total` real points ever cross the
-    device->host link.
+    Lines are reversed-forward-prefix then backward-prefix (the
+    reference's prepend/append order).  Points of dropped/invalid slots
+    scatter out of bounds and are dropped, so only `total` real points
+    ever cross the device->host link.
+
+    mode="f32": fwd/bwd_out are saved positions; the wire buffer is
+    [cap*3] float32 positions in line order.
+    mode="i8":  fwd/bwd_out are int8 step deltas; the wire buffer is
+    [cap*3/4] float32 words holding 4 packed int8 line-order deltas each
+    (delta[j] = point[j] - point[j-1]; forward deltas are negated and
+    shifted by one because that segment is laid out reversed).  Flat +
+    f32: large narrow-minor-dim or sub-32-bit outputs take tiled-padded
+    layouts (42.7x memory) or a 30x-slower wire path on this runtime.
     """
-    nsteps, s = fwd_pts.shape[:2]
+    nsteps, s = fwd_out.shape[:2]
     t_idx = jnp.arange(nsteps, dtype=jnp.int32)[:, None]
-
     oob = jnp.int32(cap)
-    dst_f = jnp.where((t_idx < fwd_n[None, :]) & keep[None, :],
-                      line_off[None, :] + fwd_n[None, :] - 1 - t_idx, oob)
+    comp = jnp.arange(3, dtype=jnp.int32)[None, :]
+
+    if mode == "f32":
+        dst_f = jnp.where((t_idx < fwd_n[None, :]) & keep[None, :],
+                          line_off[None, :] + fwd_n[None, :] - 1 - t_idx,
+                          oob)
+        dst_b = jnp.where((t_idx < bwd_n[None, :]) & keep[None, :],
+                          line_off[None, :] + fwd_n[None, :] + t_idx, oob)
+        dst_f3 = (dst_f.reshape(-1)[:, None] * 3 + comp).reshape(-1)
+        dst_b3 = (dst_b.reshape(-1)[:, None] * 3 + comp).reshape(-1)
+
+        out = jnp.zeros((cap * 3,), fwd_out.dtype)
+        out = out.at[dst_f3].set(
+            fwd_out.reshape(-1), mode="drop", unique_indices=True)
+        out = out.at[dst_b3].set(
+            bwd_out.reshape(-1), mode="drop", unique_indices=True)
+        return out
+
+    # i8 deltas: line[j] - line[j-1].  Forward segment is reversed, so
+    # line delta at off+fwd_n-t is MINUS the forward step delta at t
+    # (t >= 1; the line's first slot keeps its zero-init = "no delta").
+    dst_f = jnp.where((t_idx >= 1) & (t_idx < fwd_n[None, :])
+                      & keep[None, :],
+                      line_off[None, :] + fwd_n[None, :] - t_idx, oob)
     dst_b = jnp.where((t_idx < bwd_n[None, :]) & keep[None, :],
                       line_off[None, :] + fwd_n[None, :] + t_idx, oob)
+    dst_f3 = (dst_f.reshape(-1)[:, None] * 3 + comp).reshape(-1)
+    dst_b3 = (dst_b.reshape(-1)[:, None] * 3 + comp).reshape(-1)
 
-    out = jnp.zeros((cap, 3), fwd_pts.dtype)
-    out = out.at[dst_f.reshape(-1)].set(
-        fwd_pts.reshape(-1, 3), mode="drop", unique_indices=True)
-    out = out.at[dst_b.reshape(-1)].set(
-        bwd_pts.reshape(-1, 3), mode="drop", unique_indices=True)
-    if quantize:
-        out = jnp.round((out + _QOFF) * _QSCALE).astype(jnp.uint16)
-    return out
+    out = jnp.zeros((cap * 3,), jnp.int8)
+    out = out.at[dst_f3].set(
+        (-fwd_out).reshape(-1), mode="drop", unique_indices=True)
+    out = out.at[dst_b3].set(
+        bwd_out.reshape(-1), mode="drop", unique_indices=True)
+
+    b = out.astype(jnp.uint32) & 0xFF
+    packed = (b[0::4] | (b[1::4] << 8) | (b[2::4] << 16)
+              | (b[3::4] << 24))                           # [cap*3/4]
+    return jax.lax.bitcast_convert_type(packed, jnp.float32)
 
 
-def _compact_chunk(fwd_pts, bwd_pts, fwd_n, bwd_n, fwd_n_dev, bwd_n_dev,
-                   len_min, quantize):
+def _compact_chunk(fwd_out, bwd_out, fwd_n, bwd_n, fwd_n_dev, bwd_n_dev,
+                   len_min, mode):
     """Device compaction of one propagated chunk given host-side counts.
 
-    Returns (compacted device buffer [cap, 3], total, npts [nkept]) or
-    (None, 0, empty) when nothing survives the length filter."""
+    Returns (flat wire buffer on device, total, npts [nkept], keep) or
+    (None, 0, empty, keep) when nothing survives the length filter."""
     tot = fwd_n + bwd_n
     keep = tot >= len_min
     if not keep.any():
-        return None, 0, np.zeros(0, np.int32)
+        return None, 0, np.zeros(0, np.int32), keep
 
     npts = tot[keep]
     total = int(npts.sum())
@@ -226,23 +289,57 @@ def _compact_chunk(fwd_pts, bwd_pts, fwd_n, bwd_n, fwd_n_dev, bwd_n_dev,
 
     cap = max(1 << 16, 1 << int(np.ceil(np.log2(max(total, 1)))))
     with prof("stream.compact_dispatch"):
-        out = _compact(fwd_pts, bwd_pts, fwd_n_dev, bwd_n_dev,
+        out = _compact(fwd_out, bwd_out, fwd_n_dev, bwd_n_dev,
                        jnp.asarray(keep), jnp.asarray(off_all, jnp.int32),
-                       cap, quantize)
-    return out, total, npts.astype(np.int32)
+                       cap, mode)
+    return out, total, npts.astype(np.int32), keep
 
 
-def _fetch_points(buf, total, quantize):
-    """Fetch a compacted point buffer and decode the fixed-point wire
-    format if used."""
+def _fetch_wire(buf, total, mode):
+    """Fetch a flat compacted wire buffer (raw, undecoded)."""
     from ..ops.transfer import to_host
 
     with prof("stream.points_fetch"):
-        raw = to_host(buf, n_lead=total)
-    if quantize:
-        return raw.astype(np.float32) / np.float32(_QSCALE) - \
-            np.float32(_QOFF)
-    return raw
+        if mode == "i8":
+            nwords = (total * 3 + 3) // 4
+            return to_host(buf, n_lead=nwords)
+        return to_host(buf, n_lead=total * 3)
+
+
+def _decode_points(raw, total, mode, npts=None, anchors=None, out=None):
+    """Decode a fetched wire buffer to [total, 3] positions (into `out`
+    when given, avoiding a concatenation pass).
+
+    mode="i8": raw holds packed int8 line-order deltas; reconstruct each
+    line as anchor + cumulative deltas / _QSCALE."""
+    if out is None:
+        out = np.empty((total, 3), np.float32)
+    if mode == "i8":
+        with prof("stream.decode"):
+            q = np.ascontiguousarray(raw.view(np.int8)[:total * 3])
+            off = np.zeros(len(npts), np.int64)
+            np.cumsum(npts[:-1], dtype=np.int64, out=off[1:])
+            from .. import native
+            clib = native.lib()
+            if clib is not None:
+                # one integer-accumulate pass per line, OpenMP-parallel
+                anch = np.ascontiguousarray(anchors, np.float32)
+                npts32 = np.ascontiguousarray(npts, np.int32)
+                clib.decode_delta_lines(
+                    native.as_i8_ptr(q), native.as_i64_ptr(off),
+                    native.as_i32_ptr(npts32), native.as_f32_ptr(anch),
+                    len(npts), np.float32(1.0 / _QSCALE),
+                    native.as_f32_ptr(out))
+                return out
+            # numpy fallback: global integer cumsum, per-line rebase to
+            # the anchor (the first slot of each line holds a zero delta)
+            c = np.cumsum(q.reshape(-1, 3), axis=0, dtype=np.int64)
+            base = anchors.astype(np.float64) - c[off] * (1.0 / _QSCALE)
+            out[:] = (c * (1.0 / _QSCALE)
+                      + np.repeat(base, npts, axis=0)).astype(np.float32)
+        return out
+    out[:] = raw[:total * 3].reshape(total, 3)
+    return out
 
 def _assemble(fwd_pts, fwd_n, bwd_pts, bwd_n, len_min):
     """Vectorized ragged assembly: reversed forward prefix + backward prefix
@@ -452,39 +549,52 @@ def stream(ovec: Union[MRI, List[MRI]], *, f=None, fa: Optional[MRI] = None,
             return propagate_chunk(
                 seeds_c, subs_c, mask_flat, ovecs_flat,
                 shape3, nsteps, float(step_size), cosang_thresh,
-                float(smooth_coeff), int(len_max))
+                float(smooth_coeff), int(len_max), emit, _QSCALE)
 
-    # Wire quantization: exact on CPU (and on volumes too large for the
-    # u16 range); 1/256-voxel fixed point on accelerators unless the user
-    # opts out via cfg.exact_points.
-    quantize = (not cfg.exact_points
-                and jax.default_backend() != "cpu"
-                and max(shape3) < 250)
+    # Wire encoding: exact float32 positions on CPU (or on user opt-out);
+    # int8 error-feedback deltas on accelerators, where the device->host
+    # link is the bottleneck.
+    mode = "f32" if (cfg.exact_points or jax.default_backend() == "cpu") \
+        else "i8"
+    emit = "points" if mode == "f32" else "deltas"
 
     starts = list(range(0, len(seeds_all), cfg.chunk))
     results = [launch(lo) for lo in starts]
 
+    from ..ops.transfer import to_host
     counts = []
     with prof("stream.counts_fetch"):
-        for (_, fn, _, bn) in results:
-            counts.append((np.asarray(fn), np.asarray(bn)))
+        for (_, fn, _, bn, anch) in results:
+            counts.append((np.asarray(fn), np.asarray(bn),
+                           to_host(anch).reshape(-1, 3)))
 
     bufs = []
-    for i, ((fp, fn_d, bp, bn_d), (fn, bn)) in enumerate(
+    for i, ((fp, fn_d, bp, bn_d, _), (fn, bn, anch)) in enumerate(
             zip(results, counts)):
-        bufs.append(_compact_chunk(fp, bp, fn, bn, fn_d, bn_d,
-                                   cfg.len_min, quantize))
+        buf, total, npts_c, keep = _compact_chunk(
+            fp, bp, fn, bn, fn_d, bn_d, cfg.len_min, mode)
+        bufs.append((buf, total, npts_c, anch[keep]))
         results[i] = None     # release the raw point buffers
 
-    flat_parts, npts_parts = [], []
-    for buf, total, npts_c in bufs:
-        if buf is None:
-            continue
-        flat_parts.append(_fetch_points(buf, total, quantize))
-        npts_parts.append(npts_c)
+    # Fetch chunk i+1 on a background thread while decoding chunk i (the
+    # int8->position cumsum is host CPU work that hides under wire time)
+    from concurrent.futures import ThreadPoolExecutor
 
-    flat_pts = np.concatenate(flat_parts) if flat_parts else \
-        np.zeros((0, 3), np.float32)
+    live = [b for b in bufs if b[0] is not None]
+    total_all = sum(t for _, t, _, _ in live)
+    flat_pts = np.empty((total_all, 3), np.float32)
+    npts_parts = []
+    with ThreadPoolExecutor(1) as pool:
+        futs = [pool.submit(_fetch_wire, buf, total, mode)
+                for buf, total, npts_c, anch_k in live]
+        pos = 0
+        for fut, (_, total, npts_c, anch_k) in zip(futs, live):
+            _decode_points(fut.result(), total, mode,
+                           npts=npts_c, anchors=anch_k,
+                           out=flat_pts[pos:pos + total])
+            pos += total
+            npts_parts.append(npts_c)
+
     npts = np.concatenate(npts_parts) if npts_parts else \
         np.zeros(0, np.int32)
 
