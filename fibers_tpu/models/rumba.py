@@ -364,8 +364,10 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     it_start = 0
     if checkpoint_path is not None and os.path.isfile(checkpoint_path):
         with np.load(checkpoint_path) as ck:
+            # match on the problem (voxels, components); `niter` may
+            # differ — resuming into a longer run is the point of resume
             if (int(ck["nmask"]) == nmask and int(ck["ncomp"]) == ncomp
-                    and int(ck["niter"]) == niter):
+                    and int(ck["iteration"]) <= niter):
                 fodf = jnp.asarray(ck["fodf"])
                 sig2 = jnp.asarray(ck["sig2"])
                 lam_flat = jnp.asarray(ck["lam_flat"])

@@ -418,7 +418,8 @@ def _build_ovec_array(ovecs: List[MRI], fs, f_thresh, mask_array, cfg):
     return arr
 
 
-def stream(ovec: Union[MRI, List[MRI]], *, f=None, fa: Optional[MRI] = None,
+def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
+           f=None, fa: Optional[MRI] = None,
            mask: Optional[MRI] = None, seed: Optional[MRI] = None,
            lcms: Optional[MRI] = None, cfg: Optional[StreamConfig] = None,
            **kwargs) -> Tract:
@@ -429,7 +430,11 @@ def stream(ovec: Union[MRI, List[MRI]], *, f=None, fa: Optional[MRI] = None,
     streams per seed voxel, propagates bidirectionally, and assembles
     surviving lines into a Tract.  Keyword arguments matching
     `StreamConfig` fields override the defaults.
+
+    `odf` is accepted for API parity and ignored, exactly like the
+    reference (src/stream.jl:730 declares it; nothing reads it).
     """
+    del odf
     cfg = cfg or StreamConfig()
     for k, v in kwargs.items():
         if not hasattr(cfg, k):

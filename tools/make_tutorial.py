@@ -1,0 +1,304 @@
+"""Build and execute docs/tutorial.ipynb.
+
+Mirrors the reference tutorial's flow (docs/tutorial.ipynb in Fibers.jl,
+67 cells: mri_read -> info/show -> adc_fit -> dti_fit -> gqi_rec ->
+rumba resume -> tractography) on a synthetic phantom with quantitative
+asserts, so the notebook is runnable offline and self-checking.
+
+Run: python tools/make_tutorial.py   (executes on CPU, writes the
+executed notebook to docs/tutorial.ipynb)
+"""
+
+import os
+import sys
+
+import nbformat as nbf
+from nbclient import NotebookClient
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def md(s):
+    return nbf.v4.new_markdown_cell(s.strip())
+
+
+def code(s):
+    return nbf.v4.new_code_cell(s.strip())
+
+
+CELLS = [
+    md("""
+# fibers_tpu tutorial
+
+A TPU-native diffusion-MRI pipeline in JAX, with the same user surface
+as [Fibers.jl](https://github.com/lincbrain/Fibers.jl).  This notebook
+mirrors the reference tutorial's flow end to end — volume I/O, ADC/DTI
+fits, GQI ODFs, RUMBA-SD with resume, and deterministic tractography —
+on a synthetic phantom with known ground truth, so every step is
+quantitatively checked and runs offline on CPU in a few minutes.
+
+On a TPU host the same code runs unchanged; the heavy stages (model
+fits, streamline propagation) execute as batched XLA programs.
+"""),
+    code("""
+import os
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import fibers_tpu as ft
+
+print("backend:", jax.default_backend())
+"""),
+    md("""
+## 1. A synthetic DWI scan
+
+The reference tutorial downloads an HCP scan (140x140x92 voxels, 198
+volumes, b in {0, 1500, 3000}).  We synthesize a small brain-like
+phantom with the same acquisition structure: an ellipsoidal mask, a
+smooth single-fiber orientation field, a crossing-fiber slab, and
+Rician-ish noise — so we know the ground truth everywhere.
+"""),
+    code("""
+shape = (40, 40, 24)
+ndir, nb0 = 64, 4
+rng = np.random.default_rng(0)
+
+x, y, z = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
+                      indexing="ij")
+mask = (x**2/0.81 + y**2/0.81 + z**2/0.92) < 1.0
+
+# two b-shells on a spherical spiral
+nsh = (ndir - nb0) // 2
+i = np.arange(nsh)
+phi = np.pi * (3 - np.sqrt(5.0)) * i
+zz = 1 - 2*(i + 0.5)/nsh
+r = np.sqrt(1 - zz*zz)
+dirs = np.stack([r*np.cos(phi), r*np.sin(phi), zz], 1)
+bval = np.concatenate([np.zeros(nb0), np.full(nsh, 1500.0),
+                       np.full(ndir - nb0 - nsh, 3000.0)]).astype(np.float32)
+bvec = np.concatenate([np.zeros((nb0, 3)), dirs,
+                       dirs[:ndir - nb0 - nsh]]).astype(np.float32)
+
+# smooth orientation field + crossing slab
+th = 0.8*x + 1.3*y
+ax1 = np.stack([np.cos(th), np.sin(th), np.zeros_like(th)], -1)
+ax2 = np.stack([-ax1[..., 1], ax1[..., 0], ax1[..., 2]], -1)
+lp, lt = 1.7e-3, 0.3e-3
+
+def tensor_signal(axes):
+    dots = np.einsum("xyzi,vi->xyzv", axes, bvec)
+    return np.exp(-bval * (lt + (lp - lt) * dots**2))
+
+cross = (np.abs(y) < 0.25) & (np.abs(z) < 0.4)
+w = np.where(cross, 0.5, 0.0)[..., None]
+vol = 100.0 * ((1 - w)*tensor_signal(ax1) + w*tensor_signal(ax2))
+vol = np.abs(vol + 2.0*rng.standard_normal(vol.shape)) * mask[..., None]
+vol = vol.astype(np.float32)
+print("DWI:", vol.shape, "masked voxels:", int(mask.sum()))
+"""),
+    md("""
+## 2. The `MRI` container and file I/O
+
+`MRI` mirrors the reference's struct: volume + geometry (vox2ras
+matrices, voxel sizes) + DWI tables.  `mri_write`/`mri_read` handle
+.nii/.nii.gz/.mgh/.mgz (plus Bruker directories) with byte-level parity
+to the reference's readers, and write .bvals/.bvecs sidecars.
+"""),
+    code("""
+dwi = ft.MRI(vol=vol)
+dwi.vox2ras0 = np.diag([1.5, 1.5, 1.5, 1.0]).astype(np.float32)
+dwi.volsize = np.asarray(shape)
+dwi.width, dwi.height, dwi.depth = shape
+dwi.nframes = ndir
+dwi.set_geometry()
+dwi.bval, dwi.bvec = bval, ft.normalize_bvecs(bvec)
+
+maskm = ft.MRI.like(dwi, 1, np.float32)
+maskm.vol = mask.astype(np.float32)
+
+outdir = "tutorial_out"
+os.makedirs(outdir, exist_ok=True)
+ft.mri_write(dwi, f"{outdir}/dwi.nii.gz")
+ft.mri_write(maskm, f"{outdir}/mask.mgz")
+
+back = ft.mri_read(f"{outdir}/dwi")      # stem resolution + sidecars
+assert np.allclose(back.vol, dwi.vol, atol=1e-3)
+assert back.bval.shape == (ndir,) and back.bvec.shape == (ndir, 3)
+print("round trip OK; voxel size:", back.volres)
+"""),
+    md("""
+`info` summarizes a header like the reference's; `show_slice` renders a
+slice with anatomical orientation labels.
+"""),
+    code("""
+ft.info(back)
+"""),
+    code("""
+import matplotlib
+matplotlib.use("Agg")
+ft.show_slice(back, plane="a", t=0)
+"""),
+    md("""
+## 3. ADC fit
+
+Log-linear least squares of `s(b) = s0 * exp(-b*d)` over the masked
+voxels, as one batched solve (the reference loops per voxel).  Mean ADC
+inside the brain should sit between the tensor's radial and axial
+diffusivities.
+"""),
+    code("""
+adc, s0 = ft.adc_fit(back, maskm)
+mean_adc = float(adc.vol[mask].mean())
+print(f"mean ADC = {mean_adc:.2e} mm^2/s")
+assert 0.3e-3 < mean_adc < 1.7e-3
+"""),
+    md("""
+## 4. DTI fit
+
+Weighted least-squares tensor fit + closed-form eigendecomposition,
+giving eigenvalues/vectors and RD/MD/FA maps.  We check FA against the
+phantom: high along the single-fiber region, reduced in the crossing
+slab, and the principal eigenvector should align with the true fiber.
+"""),
+    code("""
+dti = ft.dti_fit(back, maskm)
+
+fa_single = dti.fa.vol[mask & ~cross]
+print(f"FA (single-fiber): {fa_single.mean():.3f}")
+assert fa_single.mean() > 0.6
+
+# principal eigenvector vs ground truth (up to sign)
+v1 = dti.eigvec1.vol[mask & ~cross]
+truth = ax1[mask & ~cross]
+align = np.abs(np.einsum("ni,ni->n", v1, truth))
+print(f"median |v1 . truth| = {np.median(align):.4f}")
+assert np.median(align) > 0.98
+
+ft.dti_write(dti, f"{outdir}/dti")
+print("wrote", sorted(f for f in os.listdir(outdir) if "dti" in f)[:4], "...")
+"""),
+    md("""
+## 5. GQI reconstruction
+
+Generalized q-sampling on the 642-vertex sphere: one MXU-friendly GEMM
+over the voxel batch plus face-neighbor peak NMS.  In the crossing slab
+GQI should find two distinct peaks ~90 degrees apart.
+"""),
+    code("""
+gqi = ft.gqi_rec(back, maskm, ft.sphere_642)
+
+p1 = gqi.peak[0].vol[mask & ~cross]
+truth = ax1[mask & ~cross]
+n1 = np.linalg.norm(p1, axis=1)
+ok = n1 > 0
+align = np.abs(np.einsum("ni,ni->n", p1[ok]/n1[ok, None], truth[ok]))
+print(f"peak-1 angular agreement: median |dot| = {np.median(align):.4f}")
+assert np.median(align) > 0.97
+
+# crossing slab: second peak present and ~orthogonal to the first
+p1c = gqi.peak[0].vol[mask & cross]
+p2c = gqi.peak[1].vol[mask & cross]
+both = (np.linalg.norm(p1c, 2, 1) > 0) & (np.linalg.norm(p2c, 2, 1) > 0)
+print(f"crossing voxels with 2 peaks: {both.mean():.2f}")
+assert both.mean() > 0.5
+cosx = np.abs(np.einsum("ni,ni->n", p1c[both], p2c[both]))
+cosx /= (np.linalg.norm(p1c[both], 2, 1) * np.linalg.norm(p2c[both], 2, 1))
+print(f"median inter-peak |cos| = {np.median(cosx):.3f} (expect ~0)")
+assert np.median(cosx) < 0.35
+"""),
+    md("""
+## 6. RUMBA-SD with checkpoint/resume
+
+Robust spherical deconvolution (Richardson-Lucy with a Rician noise
+model and TV regularization).  The reference tutorial resumes from a
+precomputed run via the field-per-file convention
+(`mri_read(indir*"/rumba100", RUMBASD)`); we demonstrate both that and
+in-loop checkpointing, which the reference does not have.
+""" ),
+    code("""
+ck = f"{outdir}/rumba.ckpt.npz"
+if os.path.exists(ck):
+    os.remove(ck)
+
+# run 30 iterations, checkpointing every 10
+rumba30 = ft.rumba_rec(back, maskm, ft.sphere_362, niter=30,
+                       checkpoint_path=ck, checkpoint_every=10)
+ft.rumba_write(rumba30, f"{outdir}/rumba30")
+print(f"SNR estimate after 30 iters: {rumba30.snr_mean:.1f}")
+"""),
+    code("""
+# resume: a fresh call finds the checkpoint and continues
+rumba60 = ft.rumba_rec(back, maskm, ft.sphere_362, niter=60,
+                       checkpoint_path=ck, checkpoint_every=30)
+print(f"SNR estimate after 60 iters: {rumba60.snr_mean:.1f}")
+assert np.isfinite(rumba60.gfa.vol[mask]).all()
+"""),
+    code("""
+# the reference's struct-resume convention: read a written result back
+from fibers_tpu import RUMBASD
+rumba_back = ft.mri_read_struct(f"{outdir}/rumba30", RUMBASD)
+err = np.abs(rumba_back.gfa.vol - rumba30.gfa.vol).max()
+print(f"struct round trip max |dGFA| = {err:.2e}")
+assert err < 1e-5
+"""),
+    md("""
+## 7. Deterministic tractography
+
+Streamlines follow the GQI peak field (FA-masked), integrated in
+lockstep on device with 3 jittered sub-voxel seeds per voxel, and are
+written as a TrackVis .trk file.
+"""),
+    code("""
+tract = ft.stream(gqi.peak[0], fa=dti.fa, mask=maskm, nsub=3,
+                  fa_thresh=0.1)
+print(f"{tract.n_count} streamlines")
+assert tract.n_count > 1000
+
+ft.trk_write(tract, f"{outdir}/tract.trk")
+t2 = ft.trk_read(f"{outdir}/tract.trk")
+assert t2.n_count == tract.n_count
+pts = np.asarray(t2.xyz[0])
+print("first line:", pts.shape[1], "points")
+
+# streamlines should follow the in-plane fiber field: small z drift
+zdrift = [np.ptp(np.asarray(m)[2]) for m in t2.xyz[:200]]
+print(f"median z-extent: {np.median(zdrift):.2f} voxels")
+assert np.median(zdrift) < 2.0
+"""),
+    md("""
+## 8. Where to go from here
+
+- `ft.dsi_rec` — DSI q-space reconstruction (batched 3D FFT)
+- `ft.st_recon` — structure-tensor orientation for microscopy volumes
+- `ft.stream(..., lcms=...)` — probabilistic tractography from local
+  connection matrices; micro-scale cone search engages automatically
+  for voxel sizes <= 50 um
+- `ft.xfm_read` / `ft.str_xform` — applying registration transforms to
+  volumes and tractograms
+- On multi-chip TPU systems, fits shard over a
+  `jax.sharding.Mesh` — see `fibers_tpu/parallel/`.
+"""),
+]
+
+
+def main():
+    nb = nbf.v4.new_notebook()
+    nb.cells = CELLS
+    nb.metadata["kernelspec"] = {
+        "name": "python3", "display_name": "Python 3",
+        "language": "python"}
+
+    client = NotebookClient(nb, timeout=1200,
+                            resources={"metadata": {"path": "/tmp"}})
+    client.execute()
+
+    out = os.path.join(HERE, "docs", "tutorial.ipynb")
+    with open(out, "w") as f:
+        nbf.write(nb, f)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
