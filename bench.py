@@ -56,7 +56,7 @@ def make_brain(shape=(140, 140, 92), ndir=198, seed=0):
     # Spatially varying anisotropy: white-matter-like core (high FA) to
     # gray-matter-like rim (low FA), so fa_thresh exercises the mask path
     r2 = x ** 2 + y ** 2 + z ** 2
-    frac = np.clip(1.2 - 1.1 * r2, 0.05, 1.0).astype(np.float32)
+    frac = np.clip(1.3 - 1.45 * r2, 0.01, 1.0).astype(np.float32)
     md = 0.7e-3
     lp = md + 2.0 * md * (2.0 / 3.0) * frac       # axial
     lt = md - md * (2.0 / 3.0) * frac             # radial

@@ -38,7 +38,8 @@ def prepare_batch(dwi, mask) -> VoxelBatch:
         signals = gather_frames(dwi.vol, idx).astype(np.float32)
         signals = pad_rows(signals, padded_size(len(idx)))
     with prof("batch.upload"):
-        dev = jnp.asarray(signals)
+        from ..ops.transfer import to_device
+        dev = to_device(signals)
         import jax
         jax.block_until_ready(dev)
     return VoxelBatch(idx=idx, signals=dev, n=len(idx))

@@ -36,6 +36,16 @@ FTHRESH = 0.1
 _TV_CHUNK = 16
 _BLOCK_ITERS = 25
 
+# MXU precision for the R-L GEMMs.  "high" (3-pass bf16, ~2^-21 relative
+# error — effectively float32 for this multiplicative EM update) is the
+# default; "highest" (6-pass, true f32) for strict parity studies;
+# "default" (1-pass bf16) trades ~1e-3 relative GEMM error for speed.
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
 
 @dataclass
 class RUMBASD:
@@ -169,12 +179,13 @@ def _tv_term(fodf, idx_mask, lam_flat, shape3, nxyz):
 
 
 def _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
-                     idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz):
+                     idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz,
+                     precision="high"):
     """One RUMBA-SD iteration over the voxel batch (traceable body shared
     by the single-step and fori_loop-block entry points).
     (reference: src/rusd.jl:266-339)"""
     eps = 1e-7
-    hp = jax.lax.Precision.HIGHEST
+    hp = _PRECISIONS[precision]
 
     iratio = besseli_ratio(n_order, dodf_sig)
 
@@ -212,18 +223,20 @@ def _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
 
 
 @partial(jax.jit, static_argnames=("n_order", "ipat_factor", "use_tv",
-                                   "shape3", "nxyz"))
+                                   "shape3", "nxyz", "precision"))
 def _rumba_step(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
-                idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz):
+                idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz,
+                precision="high"):
     return _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal,
                             kernel, idx_mask, n_order, ipat_factor, use_tv,
-                            shape3, nxyz)
+                            shape3, nxyz, precision)
 
 
 @partial(jax.jit, static_argnames=("k", "n_order", "ipat_factor", "use_tv",
-                                   "shape3", "nxyz"))
+                                   "shape3", "nxyz", "precision"))
 def _rumba_block(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
-                 idx_mask, k, n_order, ipat_factor, use_tv, shape3, nxyz):
+                 idx_mask, k, n_order, ipat_factor, use_tv, shape3, nxyz,
+                 precision="high"):
     """k RUMBA-SD iterations in one dispatch via lax.fori_loop — on
     high-latency runtimes per-call dispatch would otherwise dominate the
     600-iteration fit."""
@@ -233,7 +246,8 @@ def _rumba_block(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
         fodf, dodf, dodf_sig, sig2, lam_flat, _snr = st
         return _rumba_step_core(
             fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
-            idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz)
+            idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz,
+            precision)
 
     return jax.lax.fori_loop(
         0, k, body, (fodf, dodf, dodf_sig, sig2, lam_flat, snr))
@@ -292,7 +306,8 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
               coil_combine: str = "SMF-SENSE", ipat_factor: int = 1,
               use_tv: bool = True, verbose: bool = False,
               checkpoint_path: str = None,
-              checkpoint_every: int = 0) -> RUMBASD:
+              checkpoint_every: int = 0,
+              precision: str = "high") -> RUMBASD:
     """RUMBA-SD reconstruction of DWIs.  (reference: src/rusd.jl:419-636)
 
     With `checkpoint_path` set, the iteration state (fodf, sigma^2, lambda)
@@ -300,6 +315,10 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     the newest checkpoint when restarted — the long-iterative-fit analogue
     of the reference's field-per-file resume convention (the reference has
     no in-loop checkpointing; its 600-iteration fits restart from scratch).
+
+    `precision`: MXU precision of the R-L GEMMs — "high" (default,
+    3-pass bf16 ~ float32 quality), "highest" (true f32), or "default"
+    (single-pass bf16, fastest).
     """
     if dwi.bval is None or len(dwi.bval) == 0:
         raise ValueError("Missing b-value table from input DWI structure")
@@ -351,10 +370,12 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     sigma0 = 1.0 / 15
     lam0 = sigma0 ** 2
 
+    from ..ops.transfer import to_device
+
     fodf = jnp.broadcast_to(jnp.asarray(fodf0), (nmask, ncomp)).copy()
     dodf = jnp.broadcast_to(jnp.asarray(kernel @ fodf0), (nmask, ndir)).copy()
     sig2 = jnp.full((nmask, 1), lam0, jnp.float32)
-    signal_j = jnp.asarray(signal)
+    signal_j = to_device(signal)
     dodf_sig = (signal_j * dodf) / sig2
     lam_flat = jnp.full((nxyz,), lam0, jnp.float32)
     kernel_j = jnp.asarray(kernel)
@@ -399,7 +420,8 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             k = min(k, _BLOCK_ITERS)
             fodf, dodf, dodf_sig, sig2, lam_flat, snr = _rumba_block(
                 fodf, dodf, dodf_sig, sig2, lam_flat, signal_j, kernel_j,
-                idx_j, k, n_order, ipat_factor, use_tv, shape3, nxyz)
+                idx_j, k, n_order, ipat_factor, use_tv, shape3, nxyz,
+                precision)
             it += k
             if verbose:
                 sm = float(snr.mean())
