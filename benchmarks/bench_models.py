@@ -74,13 +74,10 @@ def dsi_qgrid(radius=5):
     keep = (q ** 2).sum(axis=1) <= radius ** 2
     q = q[keep]
     bmax = 8000.0
-    bval = ((q ** 2).sum(axis=1) / radius ** 2 * bmax).astype(np.float32)
     norm = np.sqrt((q ** 2).sum(axis=1))
-    bvec = np.where(norm[:, None] > 0, q / np.maximum(norm, 1)[:, None],
-                    0.0).astype(np.float32)
     # exact grid consistency: bvec*sqrt(bval) lands on integer multiples
     bvec = np.where(norm[:, None] > 0,
-                    q / np.sqrt((q ** 2).sum(axis=1))[:, None], 0.0)
+                    q / np.maximum(norm, 1e-30)[:, None], 0.0)
     bval = (q ** 2).sum(axis=1) * (bmax / radius ** 2)
     return bval.astype(np.float32), bvec.astype(np.float32)
 

@@ -182,15 +182,25 @@ def propagate_chunk(seeds, subs, mask_flat, ovecs_flat, shape3, nsteps,
 
     fwd_n = fwd_saved.sum(axis=0).astype(jnp.int32)
     bwd_n = bwd_saved.sum(axis=0).astype(jnp.int32)
-    anchor = _flatten3(fwd_q)
-    return fwd_out, fwd_n, bwd_out, bwd_n, anchor
+    meta = _pack_meta(fwd_n, bwd_n, fwd_q)
+    return fwd_out, fwd_n, bwd_out, bwd_n, meta
 
 
 @jax.jit
-def _flatten3(x):
-    """[S, 3] -> [3*S] inside a jit (eager reshape of narrow-minor-dim
-    arrays materializes their tiled padded layout on this runtime)."""
-    return x.reshape(-1)
+def _pack_meta(fwd_n, bwd_n, fwd_q):
+    """Pack per-stream counts + line anchors into ONE flat f32 buffer
+    [5*S] (counts bitcast), so the host needs a single small fetch per
+    chunk instead of three latency-bound ones."""
+    counts = jax.lax.bitcast_convert_type(
+        jnp.concatenate([fwd_n, bwd_n]), jnp.float32)
+    return jnp.concatenate([counts, fwd_q.reshape(-1)])
+
+
+def _unpack_meta(meta_host, s):
+    """Inverse of _pack_meta on host: (fwd_n, bwd_n, anchors [S, 3])."""
+    counts = meta_host[:2 * s].view(np.int32)
+    return (counts[:s], counts[s:2 * s],
+            meta_host[2 * s:].reshape(s, 3))
 
 
 # ------------------------------------------------------------------ #
@@ -566,12 +576,18 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
     starts = list(range(0, len(seeds_all), cfg.chunk))
     results = [launch(lo) for lo in starts]
 
+    # One small fetch for ALL chunks' counts + anchors (the per-call
+    # round-trip latency on tunneled links dwarfs these few MB)
     from ..ops.transfer import to_host
-    counts = []
     with prof("stream.counts_fetch"):
-        for (_, fn, _, bn, anch) in results:
-            counts.append((np.asarray(fn), np.asarray(bn),
-                           to_host(anch).reshape(-1, 3)))
+        meta_all = to_host(
+            jnp.concatenate([m for (_, _, _, _, m) in results]))
+    counts = []
+    off = 0
+    for i in range(len(results)):
+        s = results[i][1].shape[0]
+        counts.append(_unpack_meta(meta_all[off:off + 5 * s], s))
+        off += 5 * s
 
     bufs = []
     for i, ((fp, fn_d, bp, bn_d, _), (fn, bn, anch)) in enumerate(
