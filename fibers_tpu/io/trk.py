@@ -363,8 +363,15 @@ def trk_read(infile: str) -> Tract:
             counts = np.empty(tr.n_count, np.int32)
             p = 0
             for i in range(tr.n_count):
-                counts[i] = ints[p]
-                p += 1 + 3 * int(counts[i])
+                if p >= len(ints):
+                    raise ValueError(
+                        f"Malformed .trk record stream in {infile}")
+                m = int(ints[p])
+                if m < 0 or p + 1 + 3 * m > len(ints):
+                    raise ValueError(
+                        f"Malformed .trk record stream in {infile}")
+                counts[i] = m
+                p += 1 + 3 * m
             rec_off = np.zeros(tr.n_count, np.int64)
             np.cumsum(1 + 3 * counts[:-1].astype(np.int64),
                       out=rec_off[1:])
@@ -446,7 +453,7 @@ def _trk_write_packed(tr: Tract, outfile: str) -> bool:
             clib.pack_trk_records(
                 n, native.as_i32_ptr(npts32), native.as_f32_ptr(pts),
                 native.as_f32_ptr(vsz), native.as_f32_ptr(out))
-        else:
+        elif n > 0:
             rec_off = np.empty(n, np.int64)
             if n > 1:
                 np.cumsum(1 + 3 * npts[:-1], out=rec_off[1:])

@@ -219,6 +219,9 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     # Chunks are padded to `chunk` rows, so row i of voxel k is k rounded
     # into its chunk — rebuild the dense [n, .] view by dropping pad rows.
     def lazy_cat(parts, nframes):
+        out = MRI.like(mask, nframes, np.float32)
+        if len(parts) == 0:        # empty mask
+            return out
         if len(parts) == 1:
             vals = parts[0]
         else:
@@ -226,7 +229,6 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             # Padding rows only exist in the final chunk (earlier chunks
             # are exactly `chunk` rows), so concatenation preserves order.
             vals = jnp.concatenate(keep, axis=0)
-        out = MRI.like(mask, nframes, np.float32)
         out.vol = LazyVolume(vals, idx, shape3, nframes)
         return out
 

@@ -63,10 +63,13 @@ def process_local_rows(n_global: int) -> slice:
 
 def shard_voxel_batch(local_rows: np.ndarray, n_global: int,
                       mesh: Mesh) -> jax.Array:
-    """Assemble a globally-sharded [n_global, ...] array from each
-    process's local rows (zero-padded to the even per-process share).
+    """Assemble a globally-sharded voxel batch from each process's local
+    rows.
 
-    Single-process meshes fall back to a plain device_put.
+    The returned array has `ceil(n_global / process_count) *
+    process_count` rows (single-process: exactly n_global) — rows beyond
+    n_global are zero padding that callers must mask or slice off before
+    reductions.  Single-process meshes fall back to a plain device_put.
     """
     sharding = NamedSharding(mesh, P("data"))
     if jax.process_count() == 1:

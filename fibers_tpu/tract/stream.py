@@ -188,19 +188,19 @@ def propagate_chunk(seeds, subs, mask_flat, ovecs_flat, shape3, nsteps,
 
 @jax.jit
 def _pack_meta(fwd_n, bwd_n, fwd_q):
-    """Pack per-stream counts + line anchors into ONE flat f32 buffer
-    [5*S] (counts bitcast), so the host needs a single small fetch per
-    chunk instead of three latency-bound ones."""
-    counts = jax.lax.bitcast_convert_type(
-        jnp.concatenate([fwd_n, bwd_n]), jnp.float32)
-    return jnp.concatenate([counts, fwd_q.reshape(-1)])
+    """Pack per-stream counts + line anchors into ONE flat int32 buffer
+    [5*S] (anchors bitcast f32->i32), so the host needs a single small
+    fetch per chunk instead of three latency-bound ones.  Integer wire
+    only: the float transfer path flushes denormal patterns (small int
+    bitcasts!) to zero on this runtime."""
+    anchors_i = jax.lax.bitcast_convert_type(fwd_q.reshape(-1), jnp.int32)
+    return jnp.concatenate([fwd_n, bwd_n, anchors_i])
 
 
 def _unpack_meta(meta_host, s):
     """Inverse of _pack_meta on host: (fwd_n, bwd_n, anchors [S, 3])."""
-    counts = meta_host[:2 * s].view(np.int32)
-    return (counts[:s], counts[s:2 * s],
-            meta_host[2 * s:].reshape(s, 3))
+    return (meta_host[:s], meta_host[s:2 * s],
+            meta_host[2 * s:].view(np.float32).reshape(s, 3))
 
 
 # ------------------------------------------------------------------ #
@@ -209,10 +209,10 @@ def _unpack_meta(meta_host, s):
 
 # int8 error-feedback delta encoding for the point transfer: each saved
 # point is reconstructed as anchor + cumulative quantized deltas at
-# 1/_QSCALE-voxel resolution; the propagation carries the decoded chain,
-# so the error at EVERY point is bounded by ~2/_QSCALE voxels (no drift).
+# 1/qscale-voxel resolution; the propagation carries the decoded chain,
+# so the error at EVERY point is bounded by ~2/qscale voxels (no drift).
 # One byte per coordinate instead of four on the slow device->host link.
-_QSCALE = 254.0
+# qscale = 127/step_size so a full step never saturates int8.
 
 
 @partial(jax.jit, static_argnames=("cap", "mode"))
@@ -276,7 +276,11 @@ def _compact(fwd_out, bwd_out, fwd_n, bwd_n, keep, line_off, cap,
     b = out.astype(jnp.uint32) & 0xFF
     packed = (b[0::4] | (b[1::4] << 8) | (b[2::4] << 16)
               | (b[3::4] << 24))                           # [cap*3/4]
-    return jax.lax.bitcast_convert_type(packed, jnp.float32)
+    # Stay on the INTEGER wire: the float transfer path flushes denormal
+    # bit patterns to zero on this runtime (a bitcast-f32 word whose top
+    # byte is 0 with a clear sign bit below IS a denormal), silently
+    # zeroing whole delta packs.
+    return packed
 
 
 def _compact_chunk(fwd_out, bwd_out, fwd_n, bwd_n, fwd_n_dev, bwd_n_dev,
@@ -316,12 +320,13 @@ def _fetch_wire(buf, total, mode):
         return to_host(buf, n_lead=total * 3)
 
 
-def _decode_points(raw, total, mode, npts=None, anchors=None, out=None):
+def _decode_points(raw, total, mode, npts=None, anchors=None, out=None,
+                   qscale=254.0):
     """Decode a fetched wire buffer to [total, 3] positions (into `out`
     when given, avoiding a concatenation pass).
 
     mode="i8": raw holds packed int8 line-order deltas; reconstruct each
-    line as anchor + cumulative deltas / _QSCALE."""
+    line as anchor + cumulative deltas / qscale."""
     if out is None:
         out = np.empty((total, 3), np.float32)
     if mode == "i8":
@@ -338,14 +343,14 @@ def _decode_points(raw, total, mode, npts=None, anchors=None, out=None):
                 clib.decode_delta_lines(
                     native.as_i8_ptr(q), native.as_i64_ptr(off),
                     native.as_i32_ptr(npts32), native.as_f32_ptr(anch),
-                    len(npts), np.float32(1.0 / _QSCALE),
+                    len(npts), np.float32(1.0 / qscale),
                     native.as_f32_ptr(out))
                 return out
             # numpy fallback: global integer cumsum, per-line rebase to
             # the anchor (the first slot of each line holds a zero delta)
             c = np.cumsum(q.reshape(-1, 3), axis=0, dtype=np.int64)
-            base = anchors.astype(np.float64) - c[off] * (1.0 / _QSCALE)
-            out[:] = (c * (1.0 / _QSCALE)
+            base = anchors.astype(np.float64) - c[off] * (1.0 / qscale)
+            out[:] = (c * (1.0 / qscale)
                       + np.repeat(base, npts, axis=0)).astype(np.float32)
         return out
     out[:] = raw[:total * 3].reshape(total, 3)
@@ -564,7 +569,7 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
             return propagate_chunk(
                 seeds_c, subs_c, mask_flat, ovecs_flat,
                 shape3, nsteps, float(step_size), cosang_thresh,
-                float(smooth_coeff), int(len_max), emit, _QSCALE)
+                float(smooth_coeff), int(len_max), emit, qscale)
 
     # Wire encoding: exact float32 positions on CPU (or on user opt-out);
     # int8 error-feedback deltas on accelerators, where the device->host
@@ -572,30 +577,47 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
     mode = "f32" if (cfg.exact_points or jax.default_backend() == "cpu") \
         else "i8"
     emit = "points" if mode == "f32" else "deltas"
+    # full int8 range per step regardless of the configured step size
+    qscale = 127.0 / max(float(step_size), 1e-6)
+
+    # Empty seed set (e.g. a mask emptied by thresholds): empty Tract
+    if len(seeds_all) == 0:
+        ref = mask if mask is not None else ovecs[0]
+        tr = Tract.from_ref(ref)
+        tr.set_packed(np.zeros((0, 3), np.float32),
+                      np.zeros(0, np.int32))
+        return tr
 
     starts = list(range(0, len(seeds_all), cfg.chunk))
-    results = [launch(lo) for lo in starts]
+    # All chunks' raw propagation buffers live until their compaction;
+    # int8 chunks are small (~110 MB each) so everything phases at once,
+    # but exact-f32 chunks are ~0.9 GB each — bound those to waves of 2.
+    wave = len(starts) if mode == "i8" else 2
 
-    # One small fetch for ALL chunks' counts + anchors (the per-call
-    # round-trip latency on tunneled links dwarfs these few MB)
     from ..ops.transfer import to_host
-    with prof("stream.counts_fetch"):
-        meta_all = to_host(
-            jnp.concatenate([m for (_, _, _, _, m) in results]))
-    counts = []
-    off = 0
-    for i in range(len(results)):
-        s = results[i][1].shape[0]
-        counts.append(_unpack_meta(meta_all[off:off + 5 * s], s))
-        off += 5 * s
-
     bufs = []
-    for i, ((fp, fn_d, bp, bn_d, _), (fn, bn, anch)) in enumerate(
-            zip(results, counts)):
-        buf, total, npts_c, keep = _compact_chunk(
-            fp, bp, fn, bn, fn_d, bn_d, cfg.len_min, mode)
-        bufs.append((buf, total, npts_c, anch[keep]))
-        results[i] = None     # release the raw point buffers
+    for w0 in range(0, len(starts), wave):
+        results = [launch(lo) for lo in starts[w0:w0 + wave]]
+
+        # One small fetch per wave for counts + anchors (per-call
+        # round-trip latency on tunneled links dwarfs these few MB)
+        with prof("stream.counts_fetch"):
+            meta_all = to_host(
+                jnp.concatenate([m for (_, _, _, _, m) in results])
+                if len(results) > 1 else results[0][4])
+        counts = []
+        off = 0
+        for i in range(len(results)):
+            s = results[i][1].shape[0]
+            counts.append(_unpack_meta(meta_all[off:off + 5 * s], s))
+            off += 5 * s
+
+        for i, ((fp, fn_d, bp, bn_d, _), (fn, bn, anch)) in enumerate(
+                zip(results, counts)):
+            buf, total, npts_c, keep = _compact_chunk(
+                fp, bp, fn, bn, fn_d, bn_d, cfg.len_min, mode)
+            bufs.append((buf, total, npts_c, anch[keep]))
+            results[i] = None     # release the raw point buffers
 
     # Fetch chunk i+1 on a background thread while decoding chunk i (the
     # int8->position cumsum is host CPU work that hides under wire time)
@@ -612,7 +634,7 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
         for fut, (_, total, npts_c, anch_k) in zip(futs, live):
             _decode_points(fut.result(), total, mode,
                            npts=npts_c, anchors=anch_k,
-                           out=flat_pts[pos:pos + total])
+                           out=flat_pts[pos:pos + total], qscale=qscale)
             pos += total
             npts_parts.append(npts_c)
 
