@@ -84,3 +84,31 @@ class TestShardedFitMatchesLocal:
 
         np.testing.assert_allclose(np.asarray(local), np.asarray(sharded),
                                    rtol=1e-4, atol=2e-5)
+
+
+class TestShardedBatchAPI:
+    def test_prepare_batch_with_mesh_runs_fits(self, tmp_mri):
+        """prepare_batch(mesh=...) makes dti_fit/gqi_rec data-parallel
+        with no other code changes."""
+        _require_devices(8)
+        import fibers_tpu as ft
+        from fibers_tpu.parallel.mesh import make_mesh
+
+        mri, _ = tmp_mri
+        mask = ft.MRI.like(mri, 1, np.float32)
+        mask.vol[:] = 1
+
+        mesh = make_mesh(8)
+        batch = ft.prepare_batch(mri, mask, mesh=mesh)
+        assert batch.signals.shape[0] % 8 == 0
+
+        dti_sharded = ft.dti_fit(mri, mask, batch=batch)
+        dti_local = ft.dti_fit(mri, mask)
+        np.testing.assert_allclose(dti_sharded.fa.vol, dti_local.fa.vol,
+                                   rtol=1e-4, atol=2e-5)
+
+        gqi_sharded = ft.gqi_rec(mri, mask, ft.sphere_362, batch=batch)
+        gqi_local = ft.gqi_rec(mri, mask, ft.sphere_362)
+        np.testing.assert_allclose(np.asarray(gqi_sharded.odf.vol),
+                                   np.asarray(gqi_local.odf.vol),
+                                   rtol=1e-4, atol=2e-5)
