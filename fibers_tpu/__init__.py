@@ -10,6 +10,9 @@ Public API mirrors the reference's exported names (see SURVEY.md §2).
 """
 
 from .core.mri import MRI, NIfTIHeader
+
+# Reference-spelling alias (Fibers.jl exports `NIfTIheader`)
+NIfTIheader = NIfTIHeader
 from .core.odf import ODF, half_sphere
 from .core.geometry import (vox2ras_0to1, vox2ras_tkreg, vox2ras_to_qform,
                             vox2ras_to_orient)
@@ -41,20 +44,25 @@ def __getattr__(name):
     if name in ("DSI", "dsi_rec", "dsi_write"):
         from .models import dsi as _m
         return getattr(_m, name)
-    if name in ("RUMBASD", "rumba_rec", "rumba_write", "tensor_model",
-                "besseli_ratio"):
+    if name in ("RUMBASD", "rumba_rec", "rumba_write", "rumba_peaks",
+                "tensor_model", "besseli_ratio"):
         from .models import rumba as _m
         return getattr(_m, name)
     if name in ("st_recon", "st_eigen"):
         from .models import structens as _m
         return getattr(_m, name)
-    if name in ("stream", "StreamConfig"):
+    if name in ("stream", "StreamConfig", "StreamWork",
+                "stream_new_line"):
         from .tract import stream as _m
         return getattr(_m, name)
     if name in ("LUT", "color_lut", "info", "disp", "show_slice",
                 "vol_to_rgb", "view_axes"):
         from .viz import show as _m
         return getattr(_m, name)
+    if name == "show":
+        # the reference overloads Base.show for slice views
+        from .viz.show import show_slice as _s
+        return _s
     if name == "view":
         from .viz.view import view as _v
         return _v

@@ -28,8 +28,8 @@ from ..io.dispatch import mri_write_struct
 from ..ops.masked import mask_indices, scatter_frames
 from ..utils.coords import ang2rot, cart2sph
 
-__all__ = ["RUMBASD", "rumba_rec", "rumba_write", "tensor_model",
-           "besseli_ratio"]
+__all__ = ["RUMBASD", "rumba_rec", "rumba_write", "rumba_peaks",
+           "tensor_model", "besseli_ratio"]
 
 NPEAK = 5
 FTHRESH = 0.1
@@ -297,6 +297,37 @@ def _rumba_peaks_kernel(fodf_full, f_iso, half_verts, nbr, nbr_ok,
     vecs = half_verts[idx] * (vals * fnorm[:, None])[..., None]
     vecs = jnp.where(pvalid[..., None], vecs, 0.0)
     return vecs
+
+
+def rumba_peaks(fodf, f_iso, odf_dirs: ODF = None, thr: float = FTHRESH):
+    """fODF peak finding with angular-neighborhood NMS and the f_iso-
+    scaled amplitude threshold; batched over leading axes.
+
+    Returns (sorted vertex indices descending by surviving amplitude,
+    number of valid peaks) — the API of the reference's `rumba_peaks!`
+    (reference: src/rusd.jl:348-373), vectorized.
+    """
+    if odf_dirs is None:
+        from ..core import odf as _odf
+        odf_dirs = _odf.sphere_724
+
+    nbr, nbr_ok = _angular_neighbors(odf_dirs)
+    fodf = jnp.asarray(fodf)
+    f_iso = jnp.asarray(f_iso)
+
+    thr_xyz = thr / jnp.maximum(1.0 - f_iso, 1e-7)
+    thr_abs = thr_xyz * fodf.max(axis=-1)
+
+    gathered = fodf[..., nbr]
+    neg = jnp.asarray(-jnp.inf, fodf.dtype)
+    gathered = jnp.where(jnp.asarray(nbr_ok), gathered, neg)
+    nbr_max = gathered.max(axis=-1)
+
+    surv = (fodf > nbr_max) & (fodf >= thr_abs[..., None])
+    masked = jnp.where(surv, fodf, 0.0)
+    isort = jnp.argsort(-masked, axis=-1)
+    nvalid = (masked > 0).sum(axis=-1)
+    return np.asarray(isort), np.asarray(nvalid)
 
 
 def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,

@@ -31,7 +31,8 @@ from ..core.mri import MRI
 from ..io.trk import Tract, str_add
 from ..utils.profiling import prof
 
-__all__ = ["stream", "StreamConfig", "propagate_chunk"]
+__all__ = ["stream", "StreamConfig", "StreamWork", "stream_new_line",
+           "propagate_chunk"]
 
 
 @dataclass
@@ -433,6 +434,108 @@ def _build_ovec_array(ovecs: List[MRI], fs, f_thresh, mask_array, cfg):
     return arr
 
 
+class StreamWork:
+    """Precomputed tractography workspace: resolved config defaults,
+    intersected masks, and the packed orientation array.
+
+    Counterpart of the reference's `StreamWork` struct (reference:
+    src/stream.jl:43-334); here the per-thread scratch disappears (the
+    lockstep engine is functional) and what remains is the setup state
+    shared by `stream` and `stream_new_line`.
+    """
+
+    def __init__(self, ovec, *, f=None, fa=None, mask=None,
+                 cfg: Optional[StreamConfig] = None, **kwargs):
+        cfg = cfg or StreamConfig()
+        for k, v in kwargs.items():
+            if not hasattr(cfg, k):
+                raise TypeError(f"Unknown stream option {k}")
+            setattr(cfg, k, v)
+        self.cfg = cfg
+
+        self.ovecs = [ovec] if isinstance(ovec, MRI) else list(ovec)
+        self.fs = None if f is None else (
+            [f] if isinstance(f, MRI) else list(f))
+
+        nx, ny, nz = self.ovecs[0].vol.shape[:3]
+        self.shape3 = (nx, ny, nz)
+
+        # Microscopy regime switches defaults (reference:
+        # src/stream.jl:83-92)
+        self.domicro = float(np.min(self.ovecs[0].volres)) <= 0.05
+        self.nsub = cfg.nsub if cfg.nsub is not None else \
+            (0 if self.domicro else 3)
+        self.ang_thresh = cfg.ang_thresh if cfg.ang_thresh is not None \
+            else (20.0 if self.domicro else 45.0)
+        self.step_size = cfg.step_size if cfg.step_size is not None else \
+            (1.0 if self.domicro else 0.5)
+        self.smooth_coeff = cfg.smooth_coeff \
+            if cfg.smooth_coeff is not None else \
+            (0.0 if self.domicro else 0.2)
+        self.len_max = cfg.len_max if cfg.len_max is not None else \
+            max(nx, ny, nz)
+
+        # Brain mask (reference: src/stream.jl:94-117)
+        if mask is None:
+            mask_array = np.zeros(self.shape3, bool)
+            for ov in self.ovecs:
+                vol = ov.vol if ov.vol.ndim == 4 else ov.vol[..., None]
+                mask_array |= (vol != 0).any(axis=3)
+        else:
+            mvol = mask.vol if mask.vol.ndim == 3 else mask.vol[..., 0]
+            mask_array = mvol > 0
+
+        if fa is not None:
+            favol = fa.vol if fa.vol.ndim == 3 else fa.vol[..., 0]
+            inmask = favol[mask_array]
+            fa_min = np.quantile(inmask, 1e-5)
+            fa_max = np.quantile(inmask, 0.9)
+            if cfg.fa_thresh < fa_min or cfg.fa_thresh > fa_max:
+                print(f"WARNING: The value of fa_thresh ({cfg.fa_thresh}) "
+                      f"is outside the range of most values in the fa "
+                      f"volume ({fa_min}, {fa_max})")
+            mask_array = mask_array & (favol >= cfg.fa_thresh)
+
+        if self.fs is not None:
+            f0 = self.fs[0].vol if self.fs[0].vol.ndim == 3 else \
+                self.fs[0].vol[..., 0]
+            inmask = f0[mask_array]
+            f_min = np.quantile(inmask, 1e-5)
+            f_max = np.quantile(inmask, 0.9)
+            if cfg.f_thresh < f_min or cfg.f_thresh > f_max:
+                print(f"WARNING: The value of f_thresh ({cfg.f_thresh}) "
+                      f"is outside the range of most values in the f "
+                      f"volume ({f_min}, {f_max})")
+
+        self.mask_array = mask_array
+        self.ovec_arr = _build_ovec_array(
+            self.ovecs, self.fs, cfg.f_thresh, mask_array, cfg)
+
+
+def stream_new_line(seed_vox, sub_vox, work: StreamWork) -> np.ndarray:
+    """Generate the bidirectional streamline of one seed voxel; returns
+    the [3, npts] polyline (reference: src/stream.jl:625-686).
+
+    The batched engine propagates a single-stream chunk with exact
+    float32 points — useful for inspection/debugging; `stream` is the
+    production driver."""
+    seeds = np.asarray(seed_vox, np.float32)[None, :]
+    subs = np.asarray(sub_vox, np.float32)[None, :]
+    mask_flat = jnp.asarray(work.mask_array.reshape(-1))
+    ovecs_flat = jnp.asarray(
+        work.ovec_arr.reshape(-1, len(work.ovecs), 3))
+    nsteps = int(work.len_max) + 2
+    cosang = float(np.cos(np.radians(work.ang_thresh)))
+
+    fwd, fwd_n, bwd, bwd_n, _meta = propagate_chunk(
+        seeds, subs, mask_flat, ovecs_flat, work.shape3, nsteps,
+        float(work.step_size), cosang, float(work.smooth_coeff),
+        int(work.len_max), emit="points")
+    flat, npts = _assemble(fwd, np.asarray(fwd_n), bwd,
+                           np.asarray(bwd_n), 1)
+    return np.ascontiguousarray(flat.T)
+
+
 def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
            f=None, fa: Optional[MRI] = None,
            mask: Optional[MRI] = None, seed: Optional[MRI] = None,
@@ -450,61 +553,15 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
     reference (src/stream.jl:730 declares it; nothing reads it).
     """
     del odf
-    cfg = cfg or StreamConfig()
-    for k, v in kwargs.items():
-        if not hasattr(cfg, k):
-            raise TypeError(f"Unknown stream option {k}")
-        setattr(cfg, k, v)
+    work = StreamWork(ovec, f=f, fa=fa, mask=mask, cfg=cfg, **kwargs)
+    cfg = work.cfg
+    ovecs, fs = work.ovecs, work.fs
+    shape3 = work.shape3
+    nsub, ang_thresh = work.nsub, work.ang_thresh
+    step_size, smooth_coeff = work.step_size, work.smooth_coeff
+    len_max, mask_array = work.len_max, work.mask_array
 
-    ovecs = [ovec] if isinstance(ovec, MRI) else list(ovec)
-    fs = None if f is None else ([f] if isinstance(f, MRI) else list(f))
-
-    nx, ny, nz = ovecs[0].vol.shape[:3]
-    shape3 = (nx, ny, nz)
-
-    # Microscopy regime switches defaults (reference: src/stream.jl:83-92)
-    domicro = float(np.min(ovecs[0].volres)) <= 0.05
-    nsub = cfg.nsub if cfg.nsub is not None else (0 if domicro else 3)
-    ang_thresh = cfg.ang_thresh if cfg.ang_thresh is not None else \
-        (20.0 if domicro else 45.0)
-    step_size = cfg.step_size if cfg.step_size is not None else \
-        (1.0 if domicro else 0.5)
-    smooth_coeff = cfg.smooth_coeff if cfg.smooth_coeff is not None else \
-        (0.0 if domicro else 0.2)
-    len_max = cfg.len_max if cfg.len_max is not None else max(nx, ny, nz)
-
-    # Brain mask (reference: src/stream.jl:94-117)
-    if mask is None:
-        mask_array = np.zeros(shape3, bool)
-        for ov in ovecs:
-            vol = ov.vol if ov.vol.ndim == 4 else ov.vol[..., None]
-            mask_array |= (vol != 0).any(axis=3)
-    else:
-        mvol = mask.vol if mask.vol.ndim == 3 else mask.vol[..., 0]
-        mask_array = mvol > 0
-
-    if fa is not None:
-        favol = fa.vol if fa.vol.ndim == 3 else fa.vol[..., 0]
-        inmask = favol[mask_array]
-        fa_min = np.quantile(inmask, 1e-5)
-        fa_max = np.quantile(inmask, 0.9)
-        if cfg.fa_thresh < fa_min or cfg.fa_thresh > fa_max:
-            print(f"WARNING: The value of fa_thresh ({cfg.fa_thresh}) is "
-                  f"outside the range of most values in the fa volume "
-                  f"({fa_min}, {fa_max})")
-        mask_array = mask_array & (favol >= cfg.fa_thresh)
-
-    if fs is not None:
-        f0 = fs[0].vol if fs[0].vol.ndim == 3 else fs[0].vol[..., 0]
-        inmask = f0[mask_array]
-        f_min = np.quantile(inmask, 1e-5)
-        f_max = np.quantile(inmask, 0.9)
-        if cfg.f_thresh < f_min or cfg.f_thresh > f_max:
-            print(f"WARNING: The value of f_thresh ({cfg.f_thresh}) is "
-                  f"outside the range of most values in the f volume "
-                  f"({f_min}, {f_max})")
-
-    if lcms is not None or domicro:
+    if lcms is not None or work.domicro:
         from .modes import stream_lcm, stream_micro
         if lcms is not None:
             return stream_lcm(ovecs, fs, mask_array, seed, lcms, cfg,
@@ -513,7 +570,7 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
         return stream_micro(ovecs, fs, mask_array, seed, cfg, nsub,
                             ang_thresh, step_size, smooth_coeff, len_max)
 
-    ovec_arr = _build_ovec_array(ovecs, fs, cfg.f_thresh, mask_array, cfg)
+    ovec_arr = work.ovec_arr
 
     # Seed voxel list (reference: src/stream.jl:743-754)
     if seed is None:
