@@ -124,19 +124,17 @@ def main():
         gqi = ft.gqi_rec(dwi, mask, ft.sphere_642, batch=batch)
         t_fit = time.time() - t0
 
+        # tractography streams straight to the .trk file: record packing
+        # and disk writes overlap the device point fetches
         t1 = time.time()
-        tract = ft.stream(gqi.peak[0], fa=dti.fa, mask=mask, seed=seed,
-                          nsub=3)
-        t_stream = time.time() - t1
-
-        t2 = time.time()
         with tempfile.TemporaryDirectory() as d:
-            ft.trk_write(tract, os.path.join(d, "bench.trk"))
-        t_write = time.time() - t2
+            tract = ft.stream(gqi.peak[0], fa=dti.fa, mask=mask, seed=seed,
+                              nsub=3, trk_sink=os.path.join(d, "bench.trk"))
+        t_stream = time.time() - t1
 
         total = time.time() - t0
         sys.stderr.write(
-            f"fit={t_fit:.1f}s stream={t_stream:.1f}s write={t_write:.1f}s "
+            f"fit={t_fit:.1f}s stream+write={t_stream:.1f}s "
             f"total={total:.1f}s streams={tract.n_count} "
             f"voxfits/s={2 * nmask / max(t_fit, 1e-9):.0f}\n")
         from fibers_tpu.utils.profiling import (prof_enabled, prof_reset,

@@ -472,6 +472,63 @@ def _trk_write_packed(tr: Tract, outfile: str) -> bool:
     return len(header) != 1000
 
 
+class TrkSink:
+    """Incremental TrackVis writer: header first (streamline count known
+    up front), then chunks of packed lines appended as they arrive — so
+    file output overlaps with whatever produces the points (used by
+    `stream(..., trk_sink=...)` to hide the write under device fetches).
+    """
+
+    def __init__(self, outfile: str, tr: Tract, n_count: int):
+        tr.n_count = int(n_count)
+        self._vsz = np.ascontiguousarray(tr.voxel_size, np.float32)
+        self._f = open(outfile, "wb", buffering=1 << 22)
+        self._f.write(_trk_header_bytes(tr))
+        self._written = 0
+
+    def append(self, pts: np.ndarray, npts: np.ndarray) -> None:
+        """Append lines (pts [total, 3] voxel coords, counts [nlines])."""
+        from ..utils.profiling import prof
+
+        npts = np.asarray(npts, np.int64)
+        n = len(npts)
+        if n == 0:
+            return
+        total = int(npts.sum())
+        with prof("trk.sink_append"):
+            out = np.empty(n + 3 * total, np.float32)
+            from .. import native
+            clib = native.lib()
+            if clib is not None:
+                npts32 = np.ascontiguousarray(npts, np.int32)
+                p = np.ascontiguousarray(pts, np.float32)
+                clib.pack_trk_records(
+                    n, native.as_i32_ptr(npts32), native.as_f32_ptr(p),
+                    native.as_f32_ptr(self._vsz), native.as_f32_ptr(out))
+            else:
+                rec_off = np.empty(n, np.int64)
+                if n > 1:
+                    np.cumsum(1 + 3 * npts[:-1], out=rec_off[1:])
+                rec_off[0] = 0
+                is_count = np.zeros(n + 3 * total, bool)
+                is_count[rec_off] = True
+                out.view(np.int32)[is_count] = npts.astype(np.int32)
+                pts_mm = (np.asarray(pts, np.float32) + np.float32(0.5)) \
+                    * self._vsz[None, :]
+                out[~is_count] = pts_mm.reshape(-1)
+            out.astype("<f4", copy=False).tofile(self._f)
+        self._written += n
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def trk_write(tr: Tract, outfile: str) -> bool:
     """Write a .trk file.  Returns True on error.
     (reference: src/trk.jl:433-495)"""

@@ -57,6 +57,10 @@ class StreamConfig:
     # Transfer the propagated points exactly (float32) instead of the
     # default 1/256-voxel fixed-point wire encoding used on accelerators
     exact_points: bool = False
+    # Stream lines to this .trk path as they are fetched (file output
+    # overlaps device transfers; the returned Tract carries header +
+    # counts but not the point data, which lives in the file)
+    trk_sink: Optional[str] = None
 
 
 # ------------------------------------------------------------------ #
@@ -643,6 +647,9 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
         tr = Tract.from_ref(ref)
         tr.set_packed(np.zeros((0, 3), np.float32),
                       np.zeros(0, np.int32))
+        if cfg.trk_sink is not None:
+            from ..io.trk import TrkSink
+            TrkSink(cfg.trk_sink, tr, 0).close()
         return tr
 
     starts = list(range(0, len(seeds_all), cfg.chunk))
@@ -681,9 +688,32 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
     from concurrent.futures import ThreadPoolExecutor
 
     live = [b for b in bufs if b[0] is not None]
+    npts_parts = [npts_c for _, _, npts_c, _ in live]
+    npts = np.concatenate(npts_parts) if npts_parts else \
+        np.zeros(0, np.int32)
+    ref = mask if mask is not None else ovecs[0]
+    tr = Tract.from_ref(ref)
+
+    if cfg.trk_sink is not None:
+        # Write each chunk's lines to the .trk as it is fetched+decoded;
+        # the file write rides under the next chunk's wire time.
+        from ..io.trk import TrkSink
+
+        with TrkSink(cfg.trk_sink, tr, len(npts)) as sink, \
+                ThreadPoolExecutor(1) as pool:
+            futs = [pool.submit(_fetch_wire, buf, total, mode)
+                    for buf, total, npts_c, anch_k in live]
+            for fut, (_, total, npts_c, anch_k) in zip(futs, live):
+                pts = _decode_points(fut.result(), total, mode,
+                                     npts=npts_c, anchors=anch_k,
+                                     qscale=qscale)
+                sink.append(pts, npts_c)
+        tr.npts = npts
+        tr.n_count = int(len(npts))
+        return tr
+
     total_all = sum(t for _, t, _, _ in live)
     flat_pts = np.empty((total_all, 3), np.float32)
-    npts_parts = []
     with ThreadPoolExecutor(1) as pool:
         futs = [pool.submit(_fetch_wire, buf, total, mode)
                 for buf, total, npts_c, anch_k in live]
@@ -693,13 +723,7 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
                            npts=npts_c, anchors=anch_k,
                            out=flat_pts[pos:pos + total], qscale=qscale)
             pos += total
-            npts_parts.append(npts_c)
-
-    npts = np.concatenate(npts_parts) if npts_parts else \
-        np.zeros(0, np.int32)
 
     # Build the Tract (packed fast path; list view materializes lazily)
-    ref = mask if mask is not None else ovecs[0]
-    tr = Tract.from_ref(ref)
     tr.set_packed(flat_pts, npts)
     return tr

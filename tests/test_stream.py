@@ -298,3 +298,40 @@ class TestLCMMode:
         sigma = np.sqrt(0.3 * 0.7 / x_entries)
         assert abs(p_hat - 0.3) < max(4 * sigma, 0.05), \
             f"turn rate {p_hat:.3f} vs 0.3 (n={x_entries})"
+
+
+class TestTrkSink:
+    def test_sink_matches_trk_write(self, tmp_path):
+        """stream(trk_sink=...) writes the byte-identical file that
+        trk_write produces from the in-memory Tract."""
+        shape = (20, 20, 5)
+        ov = _vec_field(shape, (1, 0, 0))
+        mask = np.zeros(shape, bool)
+        mask[:, 8:12, 1:4] = True
+        seedm = np.zeros(shape, bool)
+        seedm[10, 9:11, 2] = True
+
+        tr_mem = ft.stream(ov, mask=_mask_mri(ov, mask),
+                           seed=_mask_mri(ov, seedm), nsub=2, len_max=50)
+        p_mem = str(tmp_path / "mem.trk")
+        ft.trk_write(tr_mem, p_mem)
+
+        p_sink = str(tmp_path / "sink.trk")
+        tr_sink = ft.stream(ov, mask=_mask_mri(ov, mask),
+                            seed=_mask_mri(ov, seedm), nsub=2, len_max=50,
+                            trk_sink=p_sink)
+        assert tr_sink.n_count == tr_mem.n_count
+        assert open(p_sink, "rb").read() == open(p_mem, "rb").read()
+
+        back = ft.trk_read(p_sink)
+        assert back.n_count == tr_mem.n_count
+
+    def test_sink_empty(self, tmp_path):
+        shape = (8, 8, 3)
+        ov = _vec_field(shape, (1, 0, 0))
+        mask = np.zeros(shape, bool)   # nothing to seed
+        p = str(tmp_path / "empty.trk")
+        tr = ft.stream(ov, mask=_mask_mri(ov, mask), nsub=1, trk_sink=p)
+        assert tr.n_count == 0
+        back = ft.trk_read(p)
+        assert back.n_count == 0
