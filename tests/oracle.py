@@ -161,6 +161,68 @@ def adc_fit_voxel_oracle(dwi, bval):
 
 
 # --------------------------------------------------------------------- #
+# DSI (reference: src/dsi.jl:59-261)
+# --------------------------------------------------------------------- #
+
+def _trilinear(vol, x, y, z):
+    """Linear interpolation at one (0-based) point of a 3D volume."""
+    n = vol.shape[0]
+    x0, y0, z0 = int(np.floor(x)), int(np.floor(y)), int(np.floor(z))
+    fx, fy, fz = x - x0, y - y0, z - z0
+    out = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = ((fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+                     * (fz if dz else 1 - fz))
+                out += w * vol[min(max(x0 + dx, 0), n - 1),
+                               min(max(y0 + dy, 0), n - 1),
+                               min(max(z0 + dz, 0), n - 1)]
+    return out
+
+
+def dsi_voxel_oracle(signal, bval, bvec, vertices, hann_width=32):
+    """Single-voxel DSI reconstruction (reference: src/dsi.jl:59-261).
+
+    Returns (pdf at the q-space samples [nvol], odf [nvert])."""
+    bval = np.asarray(bval, np.float64)
+    q = np.asarray(bvec, np.float64) * np.sqrt(bval)[:, None]
+    bmin = bval.min()
+    dq = np.sqrt(bval[bval > bmin].min())
+    iq = np.round(q / dq).astype(int)
+
+    nfft = int(iq.max() - iq.min() + 1)
+    nfft = 1 << int(np.ceil(np.log2(nfft)))
+    shift0 = nfft // 2                       # 0-based center
+    iq0 = iq + shift0
+
+    X = np.zeros((nfft, nfft, nfft))
+    X[iq0[:, 0], iq0[:, 1], iq0[:, 2]] = np.maximum(signal, 0)
+    if hann_width:
+        w = (1 + np.cos(np.sqrt((iq ** 2).sum(1)) * 2 * np.pi
+                        / hann_width)) * 0.5
+        X[iq0[:, 0], iq0[:, 1], iq0[:, 2]] *= w
+
+    sh = (shift0, shift0, shift0)
+    x = np.roll(np.fft.fftn(np.roll(X, sh, (0, 1, 2))), sh, (0, 1, 2))
+    p = np.real(x)
+    p = p / p.sum()
+    pdf = p[iq0[:, 0], iq0[:, 1], iq0[:, 2]]
+
+    nvert = len(vertices) // 2
+    verts = np.asarray(vertices[nvert:], np.float64)
+    qr = (nfft / 2 - 1) * np.arange(0.3, 0.9 + 1e-9, 0.03)
+    dqr = qr[1] - qr[0]
+    odf = np.zeros(nvert)
+    for iv in range(nvert):
+        for r in qr:
+            c = verts[iv] * r + shift0
+            odf[iv] += _trilinear(p, c[0], c[1], c[2]) * r * r
+        odf[iv] *= dqr
+    return pdf.astype(np.float32), odf.astype(np.float32)
+
+
+# --------------------------------------------------------------------- #
 # RUMBA-SD single iteration (reference: src/rusd.jl:183-339)
 # --------------------------------------------------------------------- #
 

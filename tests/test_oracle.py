@@ -130,6 +130,50 @@ def test_gqi_matches_oracle(rng):
         assert (dots > 0.999).mean() > 0.99
 
 
+def test_dsi_matches_oracle(rng):
+    # Cartesian q-grid (radius 2), like a miniature DSI acquisition
+    r = np.arange(-2, 3)
+    gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
+    q = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float64)
+    q = q[(q ** 2).sum(1) <= 4]
+    norm = np.sqrt((q ** 2).sum(1))
+    bvec = np.where(norm[:, None] > 0,
+                    q / np.maximum(norm, 1e-30)[:, None], 0.0)
+    bval = (q ** 2).sum(1) * 1000.0
+
+    shape = (3, 3, 2)
+    nvol = len(bval)
+    vol = np.abs(rng.standard_normal((*shape, nvol))).astype(np.float32) \
+        * 50 + 10
+    dwi = ft.MRI(vol=vol)
+    dwi.vox2ras0 = np.eye(4, dtype=np.float32)
+    dwi.volsize = np.asarray(shape)
+    dwi.width, dwi.height, dwi.depth = shape
+    dwi.nframes = nvol
+    dwi.set_geometry()
+    dwi.bval = bval.astype(np.float32)
+    dwi.bvec = bvec.astype(np.float32)
+    mask = ft.MRI.like(dwi, 1, np.float32)
+    mask.vol[:] = 1
+
+    sph = ft.sphere_362
+    dsi = ft.dsi_rec(dwi, mask, sph, hann_width=8)
+    pdf_vol = np.asarray(dsi.pdf.vol)
+    odf_vol = np.asarray(dsi.odf.vol)
+
+    import oracle as orc
+    for ix in range(shape[0]):
+        for iy in range(shape[1]):
+            for iz in range(shape[2]):
+                pdf_ref, odf_ref = orc.dsi_voxel_oracle(
+                    vol[ix, iy, iz].astype(np.float64), bval, bvec,
+                    np.asarray(sph.vertices), hann_width=8)
+                np.testing.assert_allclose(pdf_vol[ix, iy, iz], pdf_ref,
+                                           rtol=2e-4, atol=2e-6)
+                np.testing.assert_allclose(odf_vol[ix, iy, iz], odf_ref,
+                                           rtol=2e-4, atol=2e-6)
+
+
 def test_rumba_step_matches_oracle(rng):
     shape3 = (4, 4, 3)
     nxyz = int(np.prod(shape3))
