@@ -39,21 +39,51 @@ def prepare_batch(dwi, mask, mesh=None) -> VoxelBatch:
     """
     from ..utils.profiling import prof
 
-    with prof("batch.gather"):
-        idx = mask_indices(mask.vol)
-        signals = gather_frames(dwi.vol, idx).astype(np.float32)
-        n_pad = padded_size(len(idx))
-        if mesh is not None:
-            from ..parallel.mesh import pad_to_multiple
-            n_pad = pad_to_multiple(n_pad, mesh.shape["data"])
-        signals = pad_rows(signals, n_pad)
-    with prof("batch.upload"):
-        import jax
-        if mesh is not None:
+    import jax
+
+    idx = mask_indices(mask.vol)
+    n_pad = padded_size(len(idx))
+    if mesh is not None:
+        from ..parallel.mesh import pad_to_multiple
+        n_pad = pad_to_multiple(n_pad, mesh.shape["data"])
+
+    if mesh is not None:
+        with prof("batch.gather"):
+            signals = gather_frames(dwi.vol, idx).astype(np.float32)
+            signals = pad_rows(signals, n_pad)
+        with prof("batch.upload"):
             from ..parallel.mesh import batch_sharding
             dev = jax.device_put(signals, batch_sharding(mesh))
-        else:
-            from ..ops.transfer import to_device
-            dev = to_device(signals)
+            jax.block_until_ready(dev)
+        return VoxelBatch(idx=idx, signals=dev, n=len(idx))
+
+    # Single-device: pipeline the host-side mask gather with chunked
+    # uploads — each slab is gathered and put on device from a pool
+    # thread, so gather CPU time hides under upload wire time.
+    with prof("batch.gather_upload"):
+        import jax.numpy as jnp
+
+        from ..ops import transfer
+
+        vol = np.asarray(dwi.vol)
+        if vol.ndim == 3:
+            vol = vol[..., None]
+        flat = vol.reshape(-1, vol.shape[3])
+        nvol = flat.shape[1]
+        rows = max(1, transfer._UP_CHUNK_BYTES // max(1, nvol * 4))
+
+        def slab(lo, hi):
+            take = idx[lo:min(hi, len(idx))]
+            part = flat[take].astype(np.float32)
+            if hi > len(idx):
+                part = pad_rows(part, hi - lo)
+            return jax.device_put(part)
+
+        pool = transfer._get_upool()
+        futs = [pool.submit(slab, lo, min(lo + rows, n_pad))
+                for lo in range(0, n_pad, rows)]
+        parts = [f.result() for f in futs]
+        dev = parts[0] if len(parts) == 1 else \
+            jnp.concatenate(parts, axis=0)
         jax.block_until_ready(dev)
     return VoxelBatch(idx=idx, signals=dev, n=len(idx))
