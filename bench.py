@@ -102,10 +102,30 @@ def main():
     target_seeds = 20_000 if small else 1_000_000
 
     build_t0 = time.time()
-    dwi, mask, ax = make_brain(shape=shape, ndir=ndir)
+    cache = os.path.join(
+        os.environ.get("FIBERS_BENCH_CACHE", "/tmp"),
+        f"fibers_bench_phantom_{shape[0]}x{shape[1]}x{shape[2]}_{ndir}.npz")
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            import fibers_tpu as ftl
+            dwi = ftl.MRI(vol=z["vol"])
+            dwi.vox2ras0 = z["vox2ras0"]
+            dwi.volsize = np.asarray(shape)
+            dwi.width, dwi.height, dwi.depth = shape
+            dwi.nframes = ndir
+            dwi.set_geometry()
+            dwi.bval, dwi.bvec = z["bval"], z["bvec"]
+            mask = ftl.MRI.like(dwi, 1, np.float32)
+            mask.vol = z["mask"]
+        sys.stderr.write(f"phantom loaded from cache in "
+                         f"{time.time() - build_t0:.1f}s\n")
+    else:
+        dwi, mask, ax = make_brain(shape=shape, ndir=ndir)
+        np.savez(cache, vol=dwi.vol, vox2ras0=dwi.vox2ras0, bval=dwi.bval,
+                 bvec=dwi.bvec, mask=mask.vol)
+        sys.stderr.write(f"phantom built in {time.time() - build_t0:.1f}s\n")
     nmask = int((mask.vol > 0).sum())
-    sys.stderr.write(f"phantom built in {time.time() - build_t0:.1f}s, "
-                     f"{nmask} masked voxels\n")
+    sys.stderr.write(f"{nmask} masked voxels\n")
 
     # Seed mask subsampled so nsub=3 jitters give ~target_seeds streams
     seed = ft.MRI.like(mask, 1, np.float32)
