@@ -22,6 +22,23 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+# bump when make_brain changes so stale phantom caches are not reused
+PHANTOM_VERSION = 3
+
+
+def _wrap_dwi(vol, shape, ndir, bval, bvec):
+    import fibers_tpu as ft
+
+    dwi = ft.MRI(vol=vol)
+    dwi.vox2ras0 = np.diag([1.5, 1.5, 1.5, 1.0]).astype(np.float32)
+    dwi.volsize = np.asarray(shape)
+    dwi.width, dwi.height, dwi.depth = shape
+    dwi.nframes = ndir
+    dwi.set_geometry()
+    dwi.bval, dwi.bvec = bval, bvec
+    return dwi
+
+
 def make_brain(shape=(140, 140, 92), ndir=198, seed=0):
     """Synthetic HCP-scale DWI: ellipsoidal brain mask, smooth orientation
     field, two b-shells (matching the tutorial scan's scale)."""
@@ -80,13 +97,7 @@ def make_brain(shape=(140, 140, 92), ndir=198, seed=0):
     noise = rng.standard_normal(vol.shape).astype(np.float32) * 2.0
     vol = np.abs(vol + noise * mask[..., None])
 
-    dwi = ft.MRI(vol=vol)
-    dwi.vox2ras0 = np.diag([1.5, 1.5, 1.5, 1.0]).astype(np.float32)
-    dwi.volsize = np.asarray(shape)
-    dwi.width, dwi.height, dwi.depth = shape
-    dwi.nframes = ndir
-    dwi.set_geometry()
-    dwi.bval, dwi.bvec = bval, bvec
+    dwi = _wrap_dwi(vol, shape, ndir, bval, bvec)
 
     maskm = ft.MRI.like(dwi, 1, np.float32)
     maskm.vol = mask.astype(np.float32)
@@ -104,25 +115,27 @@ def main():
     build_t0 = time.time()
     cache = os.path.join(
         os.environ.get("FIBERS_BENCH_CACHE", "/tmp"),
-        f"fibers_bench_phantom_{shape[0]}x{shape[1]}x{shape[2]}_{ndir}.npz")
+        f"fibers_bench_phantom_v{PHANTOM_VERSION}_"
+        f"{shape[0]}x{shape[1]}x{shape[2]}_{ndir}.npz")
+    loaded = False
     if os.path.exists(cache):
-        with np.load(cache) as z:
-            import fibers_tpu as ftl
-            dwi = ftl.MRI(vol=z["vol"])
-            dwi.vox2ras0 = z["vox2ras0"]
-            dwi.volsize = np.asarray(shape)
-            dwi.width, dwi.height, dwi.depth = shape
-            dwi.nframes = ndir
-            dwi.set_geometry()
-            dwi.bval, dwi.bvec = z["bval"], z["bvec"]
-            mask = ftl.MRI.like(dwi, 1, np.float32)
-            mask.vol = z["mask"]
-        sys.stderr.write(f"phantom loaded from cache in "
-                         f"{time.time() - build_t0:.1f}s\n")
-    else:
+        try:
+            with np.load(cache) as z:
+                dwi = _wrap_dwi(z["vol"], shape, ndir, z["bval"], z["bvec"])
+                mask = ft.MRI.like(dwi, 1, np.float32)
+                mask.vol = z["mask"]
+            loaded = True
+            sys.stderr.write(f"phantom loaded from cache in "
+                             f"{time.time() - build_t0:.1f}s\n")
+        except Exception:
+            os.remove(cache)
+    if not loaded:
         dwi, mask, ax = make_brain(shape=shape, ndir=ndir)
-        np.savez(cache, vol=dwi.vol, vox2ras0=dwi.vox2ras0, bval=dwi.bval,
-                 bvec=dwi.bvec, mask=mask.vol)
+        tmp = cache + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:    # np.savez(path) would append .npz
+            np.savez(f, vol=dwi.vol, bval=dwi.bval, bvec=dwi.bvec,
+                     mask=mask.vol)
+        os.replace(tmp, cache)
         sys.stderr.write(f"phantom built in {time.time() - build_t0:.1f}s\n")
     nmask = int((mask.vol > 0).sum())
     sys.stderr.write(f"{nmask} masked voxels\n")

@@ -61,29 +61,21 @@ def prepare_batch(dwi, mask, mesh=None) -> VoxelBatch:
     # uploads — each slab is gathered and put on device from a pool
     # thread, so gather CPU time hides under upload wire time.
     with prof("batch.gather_upload"):
-        import jax.numpy as jnp
-
-        from ..ops import transfer
+        from ..ops.transfer import to_device_rows
 
         vol = np.asarray(dwi.vol)
         if vol.ndim == 3:
             vol = vol[..., None]
         flat = vol.reshape(-1, vol.shape[3])
         nvol = flat.shape[1]
-        rows = max(1, transfer._UP_CHUNK_BYTES // max(1, nvol * 4))
 
-        def slab(lo, hi):
+        def produce(lo, hi):
             take = idx[lo:min(hi, len(idx))]
             part = flat[take].astype(np.float32)
             if hi > len(idx):
                 part = pad_rows(part, hi - lo)
-            return jax.device_put(part)
+            return part
 
-        pool = transfer._get_upool()
-        futs = [pool.submit(slab, lo, min(lo + rows, n_pad))
-                for lo in range(0, n_pad, rows)]
-        parts = [f.result() for f in futs]
-        dev = parts[0] if len(parts) == 1 else \
-            jnp.concatenate(parts, axis=0)
+        dev = to_device_rows(produce, n_pad, nvol * 4)
         jax.block_until_ready(dev)
     return VoxelBatch(idx=idx, signals=dev, n=len(idx))

@@ -44,6 +44,28 @@ def _get_upool():
     return _upool
 
 
+def to_device_rows(producer, n_rows: int, row_bytes: int):
+    """Chunked parallel upload from a row producer.
+
+    `producer(lo, hi)` must return the host rows [lo, hi) as a numpy
+    array; slabs are produced and device_put on the upload pool so host
+    gather work overlaps upload wire time.  Returns the concatenated
+    device array of n_rows rows."""
+    import jax.numpy as jnp
+
+    rows = max(1, _UP_CHUNK_BYTES // max(1, row_bytes))
+    if n_rows <= rows:
+        return jax.device_put(producer(0, n_rows))
+
+    def slab(lo, hi):
+        return jax.device_put(producer(lo, hi))
+
+    futs = [_get_upool().submit(slab, lo, min(lo + rows, n_rows))
+            for lo in range(0, n_rows, rows)]
+    parts = [f.result() for f in futs]
+    return jnp.concatenate(parts, axis=0)
+
+
 def to_device(arr: np.ndarray):
     """Upload a host array, chunked along the leading axis in parallel.
 

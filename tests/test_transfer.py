@@ -48,3 +48,30 @@ def test_to_device_chunked(rng, monkeypatch):
 
     small = rng.standard_normal((3, 2)).astype(np.float32)
     np.testing.assert_allclose(np.asarray(to_device(small)), small)
+
+
+def test_prepare_batch_pipelined_matches_gather(rng, monkeypatch):
+    """The slab-pipelined single-device upload must equal the plain
+    gather_frames+pad_rows batch, including straddling/padding slabs."""
+    import fibers_tpu as ft
+    from fibers_tpu.ops.masked import gather_frames, mask_indices
+
+    monkeypatch.setattr(transfer, "_UP_CHUNK_BYTES", 1024)  # tiny slabs
+
+    vol = rng.standard_normal((9, 8, 7, 5)).astype(np.float32)
+    dwi = ft.MRI(vol=vol)
+    dwi.vox2ras0 = np.eye(4, dtype=np.float32)
+    dwi.volsize = np.asarray(vol.shape[:3])
+    dwi.width, dwi.height, dwi.depth = vol.shape[:3]
+    dwi.nframes = 5
+    dwi.set_geometry()
+    mask = ft.MRI.like(dwi, 1, np.float32)
+    mask.vol = (rng.random(vol.shape[:3]) < 0.4).astype(np.float32)
+
+    batch = ft.prepare_batch(dwi, mask)
+    idx = mask_indices(mask.vol)
+    ref = gather_frames(vol, idx).astype(np.float32)
+
+    got = np.asarray(batch.signals)
+    np.testing.assert_array_equal(got[:len(idx)], ref)
+    np.testing.assert_array_equal(got[len(idx):], 0.0)
