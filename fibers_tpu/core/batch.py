@@ -54,7 +54,7 @@ def prepare_batch(dwi, mask, mesh=None) -> VoxelBatch:
         with prof("batch.upload"):
             from ..parallel.mesh import batch_sharding
             dev = jax.device_put(signals, batch_sharding(mesh))
-            jax.block_until_ready(dev)
+            jax.block_until_ready(dev)  # local mesh: real barrier
         return VoxelBatch(idx=idx, signals=dev, n=len(idx))
 
     # Single-device: pipeline the host-side mask gather with chunked
@@ -77,5 +77,6 @@ def prepare_batch(dwi, mask, mesh=None) -> VoxelBatch:
             return part
 
         dev = to_device_rows(produce, n_pad, nvol * 4)
-        jax.block_until_ready(dev)
+        from ..ops.transfer import sync
+        sync(dev)
     return VoxelBatch(idx=idx, signals=dev, n=len(idx))

@@ -214,9 +214,10 @@ def dti_fit_ls(dwi: MRI, mask: MRI, batch=None) -> DTI:
                     np.asarray(dwi.bvec, np.float32))
     ib0 = (dwi.bval == dwi.bval.min()).astype(np.float32)
 
+    from ..ops.transfer import sync
     with prof("dti.kernel"):
         packed = _dti_kernel(signals, jnp.asarray(A), jnp.asarray(ib0))
-        jax.block_until_ready(packed)
+        sync(packed)
     from ..ops.transfer import to_host
     with prof("dti.fetch"):
         arr = to_host(packed, n_lead=len(idx))

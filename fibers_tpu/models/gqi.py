@@ -173,7 +173,8 @@ def gqi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             odf_b, vecs_b, qa_b, valid_b = _gqi_kernel(
                 signals, jnp.asarray(A), jnp.asarray(verts_first),
                 jnp.asarray(nbr), jnp.asarray(nbr_ok))
-        jax.block_until_ready(vecs_b)
+        from ..ops.transfer import sync
+        sync(vecs_b)
 
     from ..ops.transfer import to_host
     n = len(idx)

@@ -125,6 +125,7 @@ def st_recon(vol: np.ndarray, sigma: float, rho: float):
         v = v[..., 0]
     with prof("structens.kernel"):
         evecs, evals = _st_kernel(jnp.asarray(v), float(sigma), float(rho))
-        jax.block_until_ready(evals)
+        from ..ops.transfer import sync
+        sync(evals)
     with prof("structens.fetch"):
         return to_host(evecs), to_host(evals)

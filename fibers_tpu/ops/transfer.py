@@ -14,7 +14,25 @@ from concurrent.futures import ThreadPoolExecutor
 import jax
 import numpy as np
 
-__all__ = ["to_host", "to_device"]
+__all__ = ["to_host", "to_device", "to_device_rows", "sync"]
+
+
+def sync(x):
+    """Force completion of a device computation and return x.
+
+    jax.block_until_ready is a NO-OP on some remote runtimes (measured on
+    the tunneled axon TPU: a 33-TFLOP chain 'blocked' in 0.00 s); fetching
+    one element is the only reliable barrier.  Accepts arrays or pytrees.
+    """
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            # one leaf suffices: a single-device queue is FIFO and all
+            # outputs of one program complete together
+            np.asarray(jax.numpy.ravel(leaf)[0])
+            break
+    return x
 
 # Tuned on the tunneled v5e (2026-08-16 sweep): 8 threads x 16 MB chunks
 # sustains ~70-90 MB/s vs ~50 MB/s at 4 x 24 MB.  Env-overridable.
