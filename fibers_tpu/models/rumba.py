@@ -33,7 +33,7 @@ __all__ = ["RUMBASD", "rumba_rec", "rumba_write", "rumba_peaks",
 
 NPEAK = 5
 FTHRESH = 0.1
-_TV_CHUNK = 16
+_TV_CHUNK = 64
 _BLOCK_ITERS = 25
 
 # MXU precision for the R-L GEMMs.  "high" (3-pass bf16, ~2^-21 relative
@@ -133,10 +133,15 @@ def _angular_neighbors(odf_dirs: ODF):
     return nbr, ok
 
 
-def _tv_term(fodf, idx_mask, lam_flat, shape3, nxyz):
+def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz):
     """Total-variation multiplier for every component, chunked so only
     _TV_CHUNK component volumes are live at a time.
-    (reference: src/rusd.jl:183-235, src/rusd.jl:282-296)"""
+    (reference: src/rusd.jl:183-235, src/rusd.jl:282-296)
+
+    The mask embedding uses `gidx` (volume voxel -> batch row, padding
+    row for out-of-mask) so it lowers to a GATHER — a scatter here
+    measured ~1.7 s/iteration at HCP scale, ~90x the rest of the
+    iteration combined."""
     n, ncomp = fodf.shape
     pad = (-ncomp) % _TV_CHUNK
     fodf_p = jnp.pad(fodf, ((0, 0), (0, pad)))
@@ -146,8 +151,9 @@ def _tv_term(fodf, idx_mask, lam_flat, shape3, nxyz):
     lam = lam_flat.reshape(shape3)
 
     def one_chunk(chunk):
-        vol = jnp.zeros((_TV_CHUNK, nxyz), fodf.dtype)
-        vol = vol.at[:, idx_mask].set(chunk)
+        ext = jnp.concatenate(
+            [chunk, jnp.zeros((_TV_CHUNK, 1), fodf.dtype)], axis=1)
+        vol = jnp.take(ext, gidx, axis=1)          # [chunk, nxyz] gather
         v = vol.reshape((_TV_CHUNK,) + shape3)
 
         # Forward differences with clamped upper edge
@@ -178,9 +184,16 @@ def _tv_term(fodf, idx_mask, lam_flat, shape3, nxyz):
     return tv_chunks.reshape(nchunks * _TV_CHUNK, n)[:ncomp].T
 
 
+def _gather_index(idx_mask, n, nxyz):
+    """Volume-voxel -> batch-row index (out-of-mask -> padding row n),
+    turning the per-iteration mask embedding into a gather."""
+    return jnp.full((nxyz,), n, jnp.int32).at[idx_mask].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+
 def _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
-                     idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz,
-                     precision="high"):
+                     idx_mask, gidx, n_order, ipat_factor, use_tv, shape3,
+                     nxyz, precision="high"):
     """One RUMBA-SD iteration over the voxel batch (traceable body shared
     by the single-step and fori_loop-block entry points).
     (reference: src/rusd.jl:266-339)"""
@@ -194,7 +207,7 @@ def _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
     rl = rl_num / rl_den
 
     if use_tv:
-        tv = _tv_term(fodf, idx_mask, lam_flat, shape3, nxyz)
+        tv = _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz)
     else:
         tv = 1.0
 
@@ -227,9 +240,10 @@ def _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
 def _rumba_step(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
                 idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz,
                 precision="high"):
+    gidx = _gather_index(idx_mask, fodf.shape[0], nxyz)
     return _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal,
-                            kernel, idx_mask, n_order, ipat_factor, use_tv,
-                            shape3, nxyz, precision)
+                            kernel, idx_mask, gidx, n_order, ipat_factor,
+                            use_tv, shape3, nxyz, precision)
 
 
 @partial(jax.jit, static_argnames=("k", "n_order", "ipat_factor", "use_tv",
@@ -241,12 +255,13 @@ def _rumba_block(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
     high-latency runtimes per-call dispatch would otherwise dominate the
     600-iteration fit."""
     snr = 1.0 / jnp.sqrt(sig2)
+    gidx = _gather_index(idx_mask, fodf.shape[0], nxyz)
 
     def body(_, st):
         fodf, dodf, dodf_sig, sig2, lam_flat, _snr = st
         return _rumba_step_core(
             fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
-            idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz,
+            idx_mask, gidx, n_order, ipat_factor, use_tv, shape3, nxyz,
             precision)
 
     return jax.lax.fori_loop(
