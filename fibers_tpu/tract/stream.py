@@ -98,6 +98,9 @@ def _propagate(pos0, vec0, npts0, mask_flat, ovecs_flat, nsteps, shape3,
                emit="points", qscale=254.0):
     """Lockstep propagation of one direction for S streams.
 
+    `mask_flat` is accepted for signature stability but unused: masking
+    is baked into the zeroed orientation vectors (see step()).
+
     Returns (out [nsteps, S, 3], saved [nsteps, S], npts_total [S],
     anchor [S, 3]).  `npts0` carries the running per-line point count
     (forward pass result when propagating backward), so the shared length
@@ -119,12 +122,16 @@ def _propagate(pos0, vec0, npts0, mask_flat, ovecs_flat, nsteps, shape3,
         pos_next = pos + vec * step_size
         ipos = jnp.round(pos_next).astype(jnp.int32)
         flat, inb = _flat_index(ipos, shape3)
-        inmask = mask_flat[flat] & inb
 
+        # No separate mask gather: _build_ovec_array zeroes every vector
+        # outside the (fa/f-intersected) mask, so an out-of-mask voxel has
+        # only zero candidates and okvec is false — identical stopping to
+        # the reference's explicit mask check (src/stream.jl:516-518),
+        # at half the random-access cost per step.
         vecs = ovecs_flat[flat]                  # [S, nvec, 3]
         vnext, okvec, _ = _pick_by_angle(vec, vecs)
 
-        ok = active & inb & inmask & okvec
+        ok = active & inb & okvec
 
         # Save the CURRENT position (pre-step), as the reference does
         save = ok
