@@ -55,7 +55,8 @@ class StreamConfig:
     seed_rng: int = 0
     chunk: int = 1 << 17
     # Transfer the propagated points exactly (float32) instead of the
-    # default 1/256-voxel fixed-point wire encoding used on accelerators
+    # default int8 delta wire encoding used on accelerators (error
+    # bounded at ~2*step_size/127 voxels, no drift)
     exact_points: bool = False
     # Stream lines to this .trk path as they are fetched (file output
     # overlaps device transfers; the returned Tract carries header +
