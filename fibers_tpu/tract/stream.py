@@ -662,65 +662,75 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
 
     starts = list(range(0, len(seeds_all), cfg.chunk))
     # All chunks' raw propagation buffers live until their compaction;
-    # int8 chunks are small (~110 MB each) so everything dispatches at
-    # once, but exact-f32 chunks are ~0.9 GB each — bound those to waves.
+    # int8 chunks are small (~110 MB each) so everything phases at once,
+    # but exact-f32 chunks are ~0.9 GB each — bound those to waves of 2.
     wave = len(starts) if mode == "i8" else 2
 
+    from ..ops.transfer import to_host
+    bufs = []
+    for w0 in range(0, len(starts), wave):
+        results = [launch(lo) for lo in starts[w0:w0 + wave]]
+
+        # One small fetch per wave for counts + anchors (per-call
+        # round-trip latency on tunneled links dwarfs these few MB)
+        with prof("stream.counts_fetch"):
+            meta_all = to_host(
+                jnp.concatenate([m for (_, _, _, _, m) in results])
+                if len(results) > 1 else results[0][4])
+        counts = []
+        off = 0
+        for i in range(len(results)):
+            s = results[i][1].shape[0]
+            counts.append(_unpack_meta(meta_all[off:off + 5 * s], s))
+            off += 5 * s
+
+        for i, ((fp, fn_d, bp, bn_d, _), (fn, bn, anch)) in enumerate(
+                zip(results, counts)):
+            buf, total, npts_c, keep = _compact_chunk(
+                fp, bp, fn, bn, fn_d, bn_d, cfg.len_min, mode)
+            bufs.append((buf, total, npts_c, anch[keep]))
+            results[i] = None     # release the raw point buffers
+
+    # Fetch chunk i+1 on a background thread while decoding chunk i (the
+    # int8->position cumsum is host CPU work that hides under wire time)
     from concurrent.futures import ThreadPoolExecutor
 
-    from ..ops.transfer import to_host
+    live = [b for b in bufs if b[0] is not None]
+    npts_parts = [npts_c for _, _, npts_c, _ in live]
+    npts = np.concatenate(npts_parts) if npts_parts else \
+        np.zeros(0, np.int32)
+    ref = mask if mask is not None else ovecs[0]
+    tr = Tract.from_ref(ref)
 
-    # Per-chunk: fetch the small meta (waits only for that chunk's
-    # propagation), compact, and submit the big point fetch to the pool
-    # immediately — the wire starts on chunk 0 while later chunks still
-    # propagate, and fetch i+1 overlaps decode/write of chunk i.
-    futs, meta_live = [], []
-    pool = ThreadPoolExecutor(1)
-    try:
-        for w0 in range(0, len(starts), wave):
-            results = [launch(lo) for lo in starts[w0:w0 + wave]]
-            for i, (fp, fn_d, bp, bn_d, meta) in enumerate(results):
-                s = fn_d.shape[0]
-                with prof("stream.counts_fetch"):
-                    fn, bn, anch = _unpack_meta(to_host(meta), s)
-                buf, total, npts_c, keep = _compact_chunk(
-                    fp, bp, fn, bn, fn_d, bn_d, cfg.len_min, mode)
-                if buf is not None:
-                    futs.append(pool.submit(_fetch_wire, buf, total, mode))
-                    meta_live.append((total, npts_c, anch[keep]))
-                results[i] = None     # release the raw point buffers
+    if cfg.trk_sink is not None:
+        # Write each chunk's lines to the .trk as it is fetched+decoded;
+        # the file write rides under the next chunk's wire time.
+        from ..io.trk import TrkSink
 
-        npts_parts = [npts_c for _, npts_c, _ in meta_live]
-        npts = np.concatenate(npts_parts) if npts_parts else \
-            np.zeros(0, np.int32)
-        ref = mask if mask is not None else ovecs[0]
-        tr = Tract.from_ref(ref)
+        with TrkSink(cfg.trk_sink, tr, len(npts)) as sink, \
+                ThreadPoolExecutor(1) as pool:
+            futs = [pool.submit(_fetch_wire, buf, total, mode)
+                    for buf, total, npts_c, anch_k in live]
+            for fut, (_, total, npts_c, anch_k) in zip(futs, live):
+                pts = _decode_points(fut.result(), total, mode,
+                                     npts=npts_c, anchors=anch_k,
+                                     qscale=qscale)
+                sink.append(pts, npts_c)
+        tr.npts = npts
+        tr.n_count = int(len(npts))
+        return tr
 
-        if cfg.trk_sink is not None:
-            # Write each chunk's lines to the .trk as it is fetched and
-            # decoded; file output rides under the remaining wire time.
-            from ..io.trk import TrkSink
-
-            with TrkSink(cfg.trk_sink, tr, len(npts)) as sink:
-                for fut, (total, npts_c, anch_k) in zip(futs, meta_live):
-                    pts = _decode_points(fut.result(), total, mode,
-                                         npts=npts_c, anchors=anch_k,
-                                         qscale=qscale)
-                    sink.append(pts, npts_c)
-            tr.npts = npts
-            tr.n_count = int(len(npts))
-            return tr
-
-        total_all = sum(t for t, _, _ in meta_live)
-        flat_pts = np.empty((total_all, 3), np.float32)
+    total_all = sum(t for _, t, _, _ in live)
+    flat_pts = np.empty((total_all, 3), np.float32)
+    with ThreadPoolExecutor(1) as pool:
+        futs = [pool.submit(_fetch_wire, buf, total, mode)
+                for buf, total, npts_c, anch_k in live]
         pos = 0
-        for fut, (total, npts_c, anch_k) in zip(futs, meta_live):
+        for fut, (_, total, npts_c, anch_k) in zip(futs, live):
             _decode_points(fut.result(), total, mode,
                            npts=npts_c, anchors=anch_k,
                            out=flat_pts[pos:pos + total], qscale=qscale)
             pos += total
-    finally:
-        pool.shutdown(wait=True)
 
     # Build the Tract (packed fast path; list view materializes lazily)
     tr.set_packed(flat_pts, npts)
