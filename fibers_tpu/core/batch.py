@@ -53,8 +53,9 @@ def prepare_batch(dwi, mask, mesh=None) -> VoxelBatch:
             signals = pad_rows(signals, n_pad)
         with prof("batch.upload"):
             from ..parallel.mesh import batch_sharding
+            from ..ops.transfer import sync
             dev = jax.device_put(signals, batch_sharding(mesh))
-            jax.block_until_ready(dev)  # local mesh: real barrier
+            sync(dev)
         return VoxelBatch(idx=idx, signals=dev, n=len(idx))
 
     # Single-device: pipeline the host-side mask gather with chunked

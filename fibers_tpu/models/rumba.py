@@ -144,16 +144,16 @@ def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz):
     iteration combined."""
     n, ncomp = fodf.shape
     pad = (-ncomp) % _TV_CHUNK
-    fodf_p = jnp.pad(fodf, ((0, 0), (0, pad)))
     nchunks = (ncomp + pad) // _TV_CHUNK
-    chunks = fodf_p.T.reshape(nchunks, _TV_CHUNK, n)
+    # pad components to the chunk size AND append the zero padding row
+    # (the gather target for out-of-mask voxels) once, up front
+    fodf_p = jnp.pad(fodf.T, ((0, pad), (0, 1)))
+    chunks = fodf_p.reshape(nchunks, _TV_CHUNK, n + 1)
 
     lam = lam_flat.reshape(shape3)
 
     def one_chunk(chunk):
-        ext = jnp.concatenate(
-            [chunk, jnp.zeros((_TV_CHUNK, 1), fodf.dtype)], axis=1)
-        vol = jnp.take(ext, gidx, axis=1)          # [chunk, nxyz] gather
+        vol = jnp.take(chunk, gidx, axis=1)        # [chunk, nxyz] gather
         v = vol.reshape((_TV_CHUNK,) + shape3)
 
         # Forward differences with clamped upper edge

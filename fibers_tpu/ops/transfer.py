@@ -22,15 +22,17 @@ def sync(x):
 
     jax.block_until_ready is a NO-OP on some remote runtimes (measured on
     the tunneled axon TPU: a 33-TFLOP chain 'blocked' in 0.00 s); fetching
-    one element is the only reliable barrier.  Accepts arrays or pytrees.
+    one element is the only reliable barrier.  Accepts an array or a
+    pytree whose leaves come from ONE dispatched program (outputs of one
+    program complete together; leaves of separate dispatches need their
+    own sync).
     """
-    import jax
-
     for leaf in jax.tree_util.tree_leaves(x):
-        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
-            # one leaf suffices: a single-device queue is FIFO and all
-            # outputs of one program complete together
-            np.asarray(jax.numpy.ravel(leaf)[0])
+        if hasattr(leaf, "ndim") and getattr(leaf, "size", 0):
+            # scalar-index the first element: a plain slice, NOT ravel —
+            # an eager reshape would materialize the tiled padded layout
+            # (42.7x memory for narrow-minor-dim arrays, see to_host)
+            np.asarray(leaf[(0,) * leaf.ndim])
             break
     return x
 

@@ -79,9 +79,13 @@ def full_recon_step(signals, rumba_signal, fodf, sig2, seeds, seed_vecs,
 
     # --- a block of streamline-integration steps ---
     from ..tract.stream import _propagate
+    # _propagate's stopping relies on mask-zeroed orientation vectors
+    # (stream._build_ovec_array does this); enforce it here so callers
+    # passing unzeroed ovecs keep mask semantics
+    ovecs_masked = ovecs_flat * mask_flat[:, None, None]
     pts, saved, npts, _anchor = _propagate(
         seeds, seed_vecs, jnp.zeros(seeds.shape[0], jnp.int32),
-        mask_flat, ovecs_flat, 8, shape3, 0.5,
+        ovecs_masked, 8, shape3, 0.5,
         float(np.cos(np.radians(45.0))), 0.2, 64)
 
     return fa, odf, peaks, qa, fodf_new, sig2_new, pts, npts

@@ -94,13 +94,13 @@ def _pick_by_angle(vec_now, vecs):
 
 
 @partial(jax.jit, static_argnames=("nsteps", "shape3", "emit", "qscale"))
-def _propagate(pos0, vec0, npts0, mask_flat, ovecs_flat, nsteps, shape3,
+def _propagate(pos0, vec0, npts0, ovecs_flat, nsteps, shape3,
                step_size, cosang_thresh, smooth_coeff, len_max,
                emit="points", qscale=254.0):
     """Lockstep propagation of one direction for S streams.
 
-    `mask_flat` is accepted for signature stability but unused: masking
-    is baked into the zeroed orientation vectors (see step()).
+    Masking is baked into the orientation vectors: callers zero every
+    vector outside their mask (see step() and _build_ovec_array).
 
     Returns (out [nsteps, S, 3], saved [nsteps, S], npts_total [S],
     anchor [S, 3]).  `npts0` carries the running per-line point count
@@ -167,7 +167,7 @@ def _propagate(pos0, vec0, npts0, mask_flat, ovecs_flat, nsteps, shape3,
     return outs, saved, npts, pos_q
 
 
-def propagate_chunk(seeds, subs, mask_flat, ovecs_flat, shape3, nsteps,
+def propagate_chunk(seeds, subs, ovecs_flat, shape3, nsteps,
                     step_size, cosang_thresh, smooth_coeff, len_max,
                     emit="points", qscale=254.0):
     """Run forward+backward propagation for a chunk of seed positions.
@@ -187,10 +187,10 @@ def propagate_chunk(seeds, subs, mask_flat, ovecs_flat, shape3, nsteps,
 
     zero = jnp.zeros(pos0.shape[0], jnp.int32)
     fwd_out, fwd_saved, npts_f, fwd_q = _propagate(
-        pos0, v0, zero, mask_flat, ovecs_flat, nsteps, shape3,
+        pos0, v0, zero, ovecs_flat, nsteps, shape3,
         step_size, cosang_thresh, smooth_coeff, len_max, emit, qscale)
     bwd_out, bwd_saved, npts_t, _bwd_q = _propagate(
-        pos0, -v0, npts_f, mask_flat, ovecs_flat, nsteps, shape3,
+        pos0, -v0, npts_f, ovecs_flat, nsteps, shape3,
         step_size, cosang_thresh, smooth_coeff, len_max, emit, qscale)
 
     fwd_n = fwd_saved.sum(axis=0).astype(jnp.int32)
@@ -533,14 +533,13 @@ def stream_new_line(seed_vox, sub_vox, work: StreamWork) -> np.ndarray:
     production driver."""
     seeds = np.asarray(seed_vox, np.float32)[None, :]
     subs = np.asarray(sub_vox, np.float32)[None, :]
-    mask_flat = jnp.asarray(work.mask_array.reshape(-1))
     ovecs_flat = jnp.asarray(
         work.ovec_arr.reshape(-1, len(work.ovecs), 3))
     nsteps = int(work.len_max) + 2
     cosang = float(np.cos(np.radians(work.ang_thresh)))
 
     fwd, fwd_n, bwd, bwd_n, _meta = propagate_chunk(
-        seeds, subs, mask_flat, ovecs_flat, work.shape3, nsteps,
+        seeds, subs, ovecs_flat, work.shape3, nsteps,
         float(work.step_size), cosang, float(work.smooth_coeff),
         int(work.len_max), emit="points")
     flat, npts = _assemble(fwd, np.asarray(fwd_n), bwd,
@@ -611,7 +610,6 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
     seeds_all = np.repeat(seed_idx.astype(np.float32), len(subs), axis=0)
     subs_all = np.tile(subs, (S, 1))
 
-    mask_flat = jnp.asarray(mask_array.reshape(-1))
     ovecs_flat = jnp.asarray(ovec_arr.reshape(-1, len(ovecs), 3))
 
     nsteps = int(len_max) + 2
@@ -636,7 +634,7 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
                 [subs_c, np.zeros((padn, 3), np.float32)])
         with prof("stream.propagate_dispatch"):
             return propagate_chunk(
-                seeds_c, subs_c, mask_flat, ovecs_flat,
+                seeds_c, subs_c, ovecs_flat,
                 shape3, nsteps, float(step_size), cosang_thresh,
                 float(smooth_coeff), int(len_max), emit, qscale)
 
