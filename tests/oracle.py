@@ -317,6 +317,81 @@ def rumba_iterate_oracle(fodf, dodf, dodf_sig, sig2, lam_vol, signal,
 
 
 # --------------------------------------------------------------------- #
+# Structure tensor (reference: src/structens.jl:13-88)
+# --------------------------------------------------------------------- #
+
+def _conv1d_reflect_np(vol, k, axis):
+    """Separable correlation with "reflect"/symmetric boundary, per
+    ImageFiltering's imfilter(..., "reflect")."""
+    r = (len(k) - 1) // 2
+    pad = [(0, 0)] * vol.ndim
+    pad[axis] = (r, r)
+    v = np.pad(vol, pad, mode="symmetric")
+    out = np.zeros_like(vol, dtype=np.float64)
+    for i, w in enumerate(k):
+        sl = [slice(None)] * vol.ndim
+        sl[axis] = slice(i, i + vol.shape[axis])
+        out += w * v[tuple(sl)]
+    return out
+
+
+def _gauss_kernel_np(sigma):
+    r = int(4 * np.ceil(sigma)) // 2 * 2 // 2
+    r = max(r, int(np.ceil(2 * sigma)))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-x * x / (2 * sigma * sigma))
+    return k / k.sum()
+
+
+_SCHARR_S = np.array([3.0, 10.0, 3.0]) / 16.0
+_SCHARR_D = np.array([-0.5, 0.0, 0.5])
+
+
+def _smooth_np(vol, sigma):
+    k = _gauss_kernel_np(sigma)
+    for ax in range(3):
+        vol = _conv1d_reflect_np(vol, k, ax)
+    return vol
+
+
+def st_recon_oracle(vol, sigma, rho):
+    """Structure tensor per the reference's pipeline (Gaussian pre-smooth,
+    Scharr gradients, outer products, Gaussian post-smooth, per-voxel
+    eigen, ascending) (reference: src/structens.jl:40-88)."""
+    image = _smooth_np(np.asarray(vol, np.float64), sigma) if sigma > 0 \
+        else np.asarray(vol, np.float64)
+
+    grads = []
+    for axis in range(3):
+        g = image
+        for ax in range(3):
+            g = _conv1d_reflect_np(
+                g, _SCHARR_D if ax == axis else _SCHARR_S, ax)
+        grads.append(g)
+    gx, gy, gz = grads
+
+    comps = [gx * gx, gx * gy, gx * gz, gy * gy, gy * gz, gz * gz]
+    if rho > 0:
+        comps = [_smooth_np(c, rho) for c in comps]
+    sxx, sxy, sxz, syy, syz, szz = comps
+
+    shape = vol.shape
+    evec = np.zeros(shape + (3, 3))
+    eval_ = np.zeros(shape + (3,))
+    for ix in range(shape[0]):
+        for iy in range(shape[1]):
+            for iz in range(shape[2]):
+                S = np.array([
+                    [sxx[ix, iy, iz], sxy[ix, iy, iz], sxz[ix, iy, iz]],
+                    [sxy[ix, iy, iz], syy[ix, iy, iz], syz[ix, iy, iz]],
+                    [sxz[ix, iy, iz], syz[ix, iy, iz], szz[ix, iy, iz]]])
+                w, v = np.linalg.eigh(S)        # ascending, like Julia
+                evec[ix, iy, iz] = v
+                eval_[ix, iy, iz] = w
+    return evec, eval_
+
+
+# --------------------------------------------------------------------- #
 # Deterministic streamline (reference: src/stream.jl:336-374, 501-541,
 # 625-686)
 # --------------------------------------------------------------------- #

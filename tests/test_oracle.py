@@ -221,6 +221,20 @@ def test_rumba_step_matches_oracle(rng):
                                rtol=2e-3, atol=1e-7)
 
 
+def test_structens_matches_oracle(rng):
+    vol = rng.standard_normal((10, 9, 8)).astype(np.float32)
+    evecs, evals = ft.st_recon(vol, sigma=1.0, rho=1.5)
+    evec_ref, eval_ref = oracle.st_recon_oracle(vol, 1.0, 1.5)
+
+    np.testing.assert_allclose(evals, eval_ref, rtol=2e-3, atol=2e-6)
+    # eigenvectors up to sign; skip near-degenerate pairs
+    gap = np.diff(eval_ref, axis=-1).min(axis=-1)
+    sel = gap > 1e-5
+    dots = np.abs(np.einsum("...ij,...ij->...j", evecs[sel],
+                            evec_ref[sel]))
+    assert (dots > 0.99).mean() > 0.98
+
+
 def test_stream_matches_oracle(rng):
     shape3 = (12, 12, 6)
     mask = np.ones(shape3, bool)
