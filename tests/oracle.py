@@ -413,6 +413,92 @@ def _pick_by_angle_oracle(vec_now, vecs_here):
     return v.copy() if cosang[ivec] > 0 else -v.copy()
 
 
+def stream_micro_line_oracle(seed_vox, ovecs, mask, search_dist,
+                             search_ang=10.0, step_size=0.5,
+                             ang_thresh=45.0, smooth_coeff=0.2,
+                             len_max=None):
+    """Bidirectional microscopy cone-search streamline from one seed
+    (reference: src/stream.jl:547-619, driver 625-686).
+
+    NB the reference's micro-specific defaults (step=1, ang=20, smooth=0)
+    apply only when the caller passes `nothing` explicitly
+    (src/stream.jl:88-92); the concrete kwarg defaults (0.5/45/0.2) win
+    otherwise, and are the defaults here."""
+    nx, ny, nz = mask.shape
+    if len_max is None:
+        len_max = max(nx, ny, nz)
+    cosang_thresh = np.cos(np.radians(ang_thresh))
+    search_cos = np.cos(np.radians(search_ang))
+    rx, ry, rz = search_dist
+
+    # window offsets within the (per-axis normalized) unit ball, center
+    # excluded; direction = normalized per-axis-scaled offset
+    offs, dirs = [], []
+    for dx in range(-rx, rx + 1):
+        for dy in range(-ry, ry + 1):
+            for dz in range(-rz, rz + 1):
+                rho = np.array([dx / (rx + 0.5) if rx else 0.0,
+                                dy / (ry + 0.5) if ry else 0.0,
+                                dz / (rz + 0.5) if rz else 0.0])
+                r = np.linalg.norm(rho)
+                if 0 < r < 1:
+                    offs.append((dx, dy, dz))
+                    dirs.append(rho / r)
+
+    strline = []
+    npts = 0
+    for fwd in (1, -1):
+        pos = np.asarray(seed_vox, float)
+        iv = tuple(int(v) for v in np.asarray(seed_vox))
+        vec = ovecs[iv][0].astype(float) * fwd
+
+        addpt = (lambda p: strline.insert(0, p)) if fwd == 1 else \
+            strline.append
+
+        while True:
+            nxt = np.round(pos + vec * step_size).astype(int)
+            if not ((0 <= nxt[0] < nx) and (0 <= nxt[1] < ny)
+                    and (0 <= nxt[2] < nz)):
+                break
+            if not mask[tuple(nxt)]:
+                break
+
+            best, bestabs, bestcell = None, -np.inf, None
+            for (dx, dy, dz), d in zip(offs, dirs):
+                c = (nxt[0] + dx, nxt[1] + dy, nxt[2] + dz)
+                if not ((0 <= c[0] < nx) and (0 <= c[1] < ny)
+                        and (0 <= c[2] < nz)):
+                    continue
+                if not mask[c] or float(vec @ d) <= search_cos:
+                    continue
+                ca = float(vec @ ovecs[c][0])
+                if abs(ca) > bestabs:
+                    best, bestabs, bestcell = ca, abs(ca), c
+            if best is None or not np.isfinite(best):
+                break
+
+            v_next = ovecs[bestcell][0].astype(float)
+            if best <= 0:
+                v_next = -v_next
+
+            addpt(pos.copy())
+            npts += 1
+
+            if float(vec @ v_next) < cosang_thresh:
+                break
+            if npts > len_max:
+                break
+
+            if smooth_coeff != 0:
+                v_next = smooth_coeff * vec + (1 - smooth_coeff) * v_next
+                v_next = v_next / np.linalg.norm(v_next)
+
+            pos = np.asarray(bestcell, float)
+            vec = v_next
+
+    return np.asarray(strline).reshape(-1, 3)
+
+
 def stream_line_oracle(seed_vox, sub_vox, ovecs, mask, step_size=0.5,
                        cosang_thresh=np.cos(np.radians(45.0)),
                        smooth_coeff=0.2, len_max=None):

@@ -221,6 +221,46 @@ def test_rumba_step_matches_oracle(rng):
                                rtol=2e-3, atol=1e-7)
 
 
+def test_stream_micro_matches_oracle(rng):
+    shape3 = (16, 10, 10)
+    mask = np.ones(shape3, bool)
+    mask[:, :2, :] = False
+    x, y, z = np.meshgrid(*[np.linspace(0, 1, s) for s in shape3],
+                          indexing="ij")
+    th = 0.5 * x + 0.3 * y
+    ov = np.stack([np.cos(th), np.sin(th), 0.15 * np.ones_like(th)],
+                  axis=-1)
+    ov /= np.linalg.norm(ov, axis=-1, keepdims=True)
+    ov *= mask[..., None]
+    ovecs = ov[..., None, :].astype(np.float32)
+
+    ovm = ft.MRI(vol=ovecs[..., 0, :])
+    ovm.vox2ras0 = np.eye(4, dtype=np.float32)
+    ovm.volsize = np.asarray(shape3)
+    ovm.width, ovm.height, ovm.depth = shape3
+    ovm.nframes = 3
+    ovm.set_geometry()
+    ovm.volres = np.array([0.01, 0.01, 0.01], np.float32)  # 10 um: micro
+    maskm = ft.MRI.like(ovm, 1, np.float32)
+    maskm.vol = mask.astype(np.float32)
+    maskm.volres = ovm.volres
+
+    sd = 3
+    tract = ft.stream(ovm, mask=maskm, nsub=0, search_dist=sd)
+    tract.materialize()
+
+    seeds = np.argwhere(mask)
+    ref_lines = [oracle.stream_micro_line_oracle(
+        sv, ovecs, mask, (sd, sd, sd)) for sv in seeds]
+    ref_lines = [l for l in ref_lines if len(l) >= 3]
+
+    assert tract.n_count == len(ref_lines)
+    for i, ref in enumerate(ref_lines):
+        g = np.asarray(tract.xyz[i]).T
+        assert g.shape == ref.shape, f"line {i}: {g.shape} vs {ref.shape}"
+        np.testing.assert_allclose(g, ref, atol=1e-4, err_msg=f"line {i}")
+
+
 def test_structens_matches_oracle(rng):
     vol = rng.standard_normal((10, 9, 8)).astype(np.float32)
     evecs, evals = ft.st_recon(vol, sigma=1.0, rho=1.5)
