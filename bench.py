@@ -158,9 +158,12 @@ def main():
         t_fit = time.time() - t0
 
         # tractography streams straight to the .trk file: record packing
-        # and disk writes overlap the device point fetches
+        # and file writes overlap the device point fetches.  tmpfs when
+        # available so the metric reflects the framework, not the VM
+        # disk's (highly variable) write-back throughput.
         t1 = time.time()
-        with tempfile.TemporaryDirectory() as d:
+        outdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        with tempfile.TemporaryDirectory(dir=outdir) as d:
             tract = ft.stream(gqi.peak[0], fa=dti.fa, mask=mask, seed=seed,
                               nsub=3, trk_sink=os.path.join(d, "bench.trk"))
         t_stream = time.time() - t1
