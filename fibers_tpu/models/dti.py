@@ -26,8 +26,7 @@ import numpy as np
 from ..core.mri import MRI
 from ..io.dispatch import mri_write_struct
 from ..ops.eig3 import eigh3
-from ..ops.masked import (gather_frames, mask_indices, pad_rows, padded_size,
-                          scatter_frames)
+from ..ops.masked import scatter_frames
 
 __all__ = ["DTI", "adc_fit", "dti_fit", "dti_fit_ls", "dti_maps", "dti_write"]
 
@@ -152,29 +151,28 @@ def _dti_kernel(signals, A, ib0):
     return jnp.where(valid[:, None], packed, 0.0)
 
 
-def _prepare_batch(dwi: MRI, mask: MRI):
-    idx = mask_indices(mask.vol)
-    signals = gather_frames(dwi.vol, idx).astype(np.float32)
-    n_pad = padded_size(len(idx))
-    return idx, pad_rows(signals, n_pad)
-
-
-def adc_fit(dwi: MRI, mask: MRI):
+def adc_fit(dwi: MRI, mask: MRI, batch=None):
     """Fit the apparent diffusion coefficient.  Returns (adc, s0) MRIs.
 
     (reference: src/dti.jl:164-213)
-    """
+
+    `batch`: optional prepared `VoxelBatch` to reuse one gather/upload
+    across several fits, like dti_fit/gqi_rec."""
     if dwi.bval is None or len(dwi.bval) == 0:
         raise ValueError("Missing b-value table from input DWI structure")
 
-    idx, signals = _prepare_batch(dwi, mask)
+    if batch is None:
+        from ..core.batch import prepare_batch
+        batch = prepare_batch(dwi, mask)
+    idx, signals = batch.idx, batch.signals
     A = _design_adc(np.asarray(dwi.bval, np.float32))
     ib0 = (dwi.bval == dwi.bval.min()).astype(np.float32)
 
     adc_v, s0_v = _adc_kernel(jnp.asarray(signals), jnp.asarray(A),
                               jnp.asarray(ib0))
-    adc_v = np.asarray(adc_v)[:len(idx)]
-    s0_v = np.asarray(s0_v)[:len(idx)]
+    from ..ops.transfer import to_host
+    adc_v = to_host(adc_v, n_lead=len(idx))
+    s0_v = to_host(s0_v, n_lead=len(idx))
 
     shape3 = mask.vol.shape[:3]
     adc = MRI.like(mask, 1, np.float32)
