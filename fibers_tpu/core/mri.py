@@ -227,6 +227,23 @@ class MRI:
             np.float32)
 
 
+def _mri_repr(self):
+    v = self.__dict__.get("vol")
+    from .lazy import LazyVolume
+
+    if isinstance(v, LazyVolume):
+        shape, extra = v.shape, " (device-resident, lazy)"
+    else:
+        shape, extra = getattr(v, "shape", None), ""
+    nbv = len(self.bval) if self.bval is not None else 0
+    return (f"MRI(vol={shape}{extra}, volres="
+            f"{np.round(np.asarray(self.volres), 4).tolist()}, "
+            f"nframes={self.nframes}, bvals={nbv})")
+
+
+MRI.__repr__ = _mri_repr
+
+
 # `vol` is a transparent lazy property: model fits may assign a
 # core.lazy.LazyVolume (device-resident batch); the first host access
 # materializes it into the usual numpy volume.  Plain numpy assignments

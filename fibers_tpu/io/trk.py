@@ -144,6 +144,18 @@ class Tract:
         return tr
 
 
+def _tract_repr(self):
+    packed = self.packed_xyz is not None and not self.__dict__.get("xyz")
+    npts_total = (int(np.asarray(self.npts).sum())
+                  if len(self.npts) else 0)
+    return (f"Tract(n_count={self.n_count}, points={npts_total}, "
+            f"voxel_size={np.round(self.voxel_size, 4).tolist()}"
+            f"{', packed' if packed else ''})")
+
+
+Tract.__repr__ = _tract_repr
+
+
 # `xyz` transparently materializes the per-streamline list view when the
 # Tract holds packed storage, so user code written against the reference's
 # list-of-matrices API works on packed tractograms unchanged.
