@@ -180,11 +180,13 @@ def main():
             prof_reset()
         return total
 
-    # Two runs: the first includes one-time jit compiles (mitigated by the
-    # persistent cache) and random tunnel stalls; report the best, which
-    # reflects steady-state serving performance.
-    totals = [pipeline() for _ in range(2)]
-    total = min(totals)
+    # Three runs: the first includes one-time jit compiles (mitigated by
+    # the persistent cache); report the MEDIAN so a lucky tunnel-weather
+    # window can't flatter the number.  All runs go to stderr.
+    totals = [pipeline() for _ in range(3)]
+    total = float(np.median(totals))
+    sys.stderr.write("runs: " + " ".join(f"{t:.1f}s" for t in totals)
+                     + f" -> median {total:.1f}s\n")
 
     target = 60.0 if not small else 60.0 * (20_000 / 1_000_000)
     print(json.dumps({

@@ -51,8 +51,8 @@ def __getattr__(name):
     if name in ("st_recon", "st_eigen"):
         from .models import structens as _m
         return getattr(_m, name)
-    if name in ("stream", "StreamConfig", "StreamWork",
-                "stream_new_line"):
+    if name in ("stream", "StreamConfig", "StreamWork", "stream_new_line",
+                "stream_new_point", "stream_micro_new_point"):
         from .tract import stream as _m
         return getattr(_m, name)
     if name in ("LUT", "color_lut", "info", "disp", "show_slice",

@@ -82,9 +82,13 @@ class Tract:
     packed_xyz: Optional[np.ndarray] = None
 
     def set_packed(self, flat_pts: np.ndarray, npts: np.ndarray) -> None:
-        """Adopt packed streamline storage ([total, 3] + counts)."""
+        """Adopt packed streamline storage ([total, 3] + counts).
+
+        `npts` is always an int32 ndarray in packed mode (materialize()
+        converts it to the list representation used by the per-line
+        mode), so consumers see one type per storage mode."""
         self.packed_xyz = np.ascontiguousarray(flat_pts, dtype=np.float32)
-        self.npts = [int(n) for n in npts] if len(npts) < 100000 else npts
+        self.npts = np.asarray(npts, np.int32)
         self.n_count = int(len(npts))
         self.xyz = []
         self.scalars = []
@@ -101,6 +105,7 @@ class Tract:
             for i in range(self.n_count)]
         self.scalars = [np.zeros((0, int(n)), np.float32)
                         for n in np.asarray(self.npts)]
+        self.npts = [int(n) for n in np.asarray(self.npts)]
 
     @classmethod
     def from_ref(cls, ref: MRI) -> "Tract":
@@ -350,8 +355,11 @@ def trk_read(infile: str) -> Tract:
 
     if ns == 0 and npr == 0 and tr.n_count > 0:
         # Packed fast path: one scan over the record stream (native C when
-        # built, numpy otherwise) into flat [total, 3] voxel coords
-        payload = np.frombuffer(buf, "<f4", offset=pos)
+        # built, numpy otherwise) into flat [total, 3] voxel coords.
+        # Trim any trailing partial word so a truncated file fails with
+        # the dedicated malformed-stream error, not an opaque numpy one.
+        nbytes = (len(buf) - pos) // 4 * 4
+        payload = np.frombuffer(buf, "<f4", count=nbytes // 4, offset=pos)
         from .. import native
         clib = native.lib()
         max_pts = max(0, (len(payload) - tr.n_count) // 3)
@@ -493,6 +501,8 @@ class TrkSink:
 
     def __init__(self, outfile: str, tr: Tract, n_count: int):
         tr.n_count = int(n_count)
+        self._n_count = int(n_count)
+        self._outfile = outfile
         self._vsz = np.ascontiguousarray(tr.voxel_size, np.float32)
         self._f = open(outfile, "wb", buffering=1 << 22)
         self._f.write(_trk_header_bytes(tr))
@@ -533,11 +543,21 @@ class TrkSink:
 
     def close(self) -> None:
         self._f.close()
+        # The header's n_count was written up front; a mismatch with what
+        # was actually appended means the producer lost/duplicated lines
+        # and the file is inconsistent — fail loudly, not silently.
+        if self._written != self._n_count:
+            raise IOError(
+                f"TrkSink {self._outfile}: header says {self._n_count} "
+                f"streamlines but {self._written} were appended")
 
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
+        if exc[0] is not None:
+            self._f.close()      # don't mask the original exception
+            return
         self.close()
 
 

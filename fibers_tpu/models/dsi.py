@@ -186,9 +186,9 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
 
     pdf_parts: list = []
     odf_parts: list = []
-    vecs_all = np.zeros((n, NPEAK, 3), np.float32)
-    qa_all = np.zeros((n, NPEAK), np.float32)
-    odfmax = 0.0
+    vecs_parts: list = []
+    qa_parts: list = []
+    odfmax_d = jnp.zeros((), jnp.float32)
 
     args = (jnp.asarray(iq_flat), jnp.asarray(hann), jnp.asarray(wmat),
             jnp.asarray(verts_first), jnp.asarray(nbr), jnp.asarray(nbr_ok))
@@ -200,13 +200,25 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             batch = pad_rows(signals[lo:hi], chunk)
             pdf_c, odf_c, vecs, qa, odfmean, valid = _dsi_kernel(
                 jnp.asarray(batch), *args, nfft=nfft)
-            m = hi - lo
-            # pdf/odf stay on device (lazy outputs); peaks/qa come home now
+            # Everything stays on device until all chunks are dispatched:
+            # a host sync here would serialize dispatch against the wire.
             pdf_parts.append(pdf_c)
             odf_parts.append(odf_c)
-            vecs_all[lo:hi] = to_host(vecs)[:m]
-            qa_all[lo:hi] = to_host(qa)[:m]
-            odfmax = max(odfmax, float(np.asarray(odfmean)[:m].max()))
+            vecs_parts.append(vecs)
+            qa_parts.append(qa)
+            odfmax_d = jnp.maximum(odfmax_d, odfmean.max())
+
+    with prof("dsi.fetch"):
+        m_last = n - (len(vecs_parts) - 1) * chunk if vecs_parts else 0
+        vecs_all = np.concatenate(
+            [to_host(v)[:chunk] for v in vecs_parts[:-1]]
+            + [to_host(v)[:m_last] for v in vecs_parts[-1:]]
+        ) if vecs_parts else np.zeros((0, NPEAK, 3), np.float32)
+        qa_all = np.concatenate(
+            [to_host(q)[:chunk] for q in qa_parts[:-1]]
+            + [to_host(q)[:m_last] for q in qa_parts[-1:]]
+        ) if qa_parts else np.zeros((0, NPEAK), np.float32)
+        odfmax = float(np.asarray(odfmax_d))
 
     # Global QA normalization (reference: src/dsi.jl:263-267)
     if odfmax > 0:

@@ -23,9 +23,8 @@ def sync(x):
     jax.block_until_ready is a NO-OP on some remote runtimes (measured on
     the tunneled axon TPU: a 33-TFLOP chain 'blocked' in 0.00 s); fetching
     one element is the only reliable barrier.  Accepts an array or a
-    pytree whose leaves come from ONE dispatched program (outputs of one
-    program complete together; leaves of separate dispatches need their
-    own sync).
+    pytree; one element of EVERY leaf is fetched (cheap scalar reads), so
+    leaves produced by separate dispatches are each forced to completion.
     """
     for leaf in jax.tree_util.tree_leaves(x):
         if hasattr(leaf, "ndim") and getattr(leaf, "size", 0):
@@ -33,7 +32,6 @@ def sync(x):
             # an eager reshape would materialize the tiled padded layout
             # (42.7x memory for narrow-minor-dim arrays, see to_host)
             np.asarray(leaf[(0,) * leaf.ndim])
-            break
     return x
 
 # Tuned on the tunneled v5e (2026-08-16 sweep): 8 threads x 16 MB chunks

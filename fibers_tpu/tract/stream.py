@@ -32,7 +32,7 @@ from ..io.trk import Tract, str_add
 from ..utils.profiling import prof
 
 __all__ = ["stream", "StreamConfig", "StreamWork", "stream_new_line",
-           "propagate_chunk"]
+           "stream_new_point", "stream_micro_new_point", "propagate_chunk"]
 
 
 @dataclass
@@ -58,6 +58,10 @@ class StreamConfig:
     # default int8 delta wire encoding used on accelerators (error
     # bounded at ~2*step_size/127 voxels, no drift)
     exact_points: bool = False
+    # Point wire encoding: "auto" picks int8 deltas on accelerators and
+    # exact f32 on CPU; "i8"/"f32" force one codec regardless of backend
+    # (so the production codec is testable on CPU CI).
+    wire: str = "auto"
     # Stream lines to this .trk path as they are fetched (file output
     # overlaps device transfers; the returned Tract carries header +
     # counts but not the point data, which lives in the file)
@@ -547,6 +551,89 @@ def stream_new_line(seed_vox, sub_vox, work: StreamWork) -> np.ndarray:
     return np.ascontiguousarray(flat.T)
 
 
+def stream_new_point(pos_now, vec_now, work: StreamWork):
+    """One deterministic (angle-greedy) propagation step.
+    (reference: src/stream.jl:501-541, exported as `stream_new_point!`)
+
+    Returns (pos_next [3], vec_next [3], ok).  ok=False mirrors the
+    reference's early `return false` (out of volume, out of mask, or no
+    valid orientation vector); pos/vec come back unchanged then.  The
+    picked vec_next is unsmoothed — the line driver applies the angle
+    threshold and EMA smoothing afterwards, exactly like the reference.
+    """
+    pos_now = np.asarray(pos_now, np.float64)
+    vec_now = np.asarray(vec_now, np.float64)
+    nx, ny, nz = work.shape3
+    pos_next = pos_now + vec_now * float(work.step_size)
+    inext = np.round(pos_next).astype(int)
+    if not ((0 <= inext[0] < nx) and (0 <= inext[1] < ny)
+            and (0 <= inext[2] < nz)):
+        return pos_now, vec_now, False
+    if not work.mask_array[tuple(inext)]:
+        return pos_now, vec_now, False
+    vecs = work.ovec_arr[tuple(inext)].astype(np.float64)   # [nvec, 3]
+    live = (vecs != 0).any(axis=1)
+    if not live.any():
+        return pos_now, vec_now, False
+    cos = vecs @ vec_now
+    cabs = np.where(live, np.abs(cos), -np.inf)
+    iv = int(np.argmax(cabs))
+    vec_next = vecs[iv] if cos[iv] > 0 else -vecs[iv]
+    return pos_next, vec_next, True
+
+
+def stream_micro_new_point(pos_now, vec_now, work: StreamWork):
+    """One microscopy cone-search propagation step.
+    (reference: src/stream.jl:547-619, exported as
+    `stream_micro_new_point!`)
+
+    Returns (pos_next [3], vec_next [3], ok): pos_next is the chosen
+    search-window voxel (integer coordinates, like the reference's jump),
+    vec_next the sign-aligned orientation there.
+    """
+    from .modes import _search_window
+
+    pos_now = np.asarray(pos_now, np.float64)
+    vec_now = np.asarray(vec_now, np.float64)
+    nx, ny, nz = work.shape3
+
+    win = getattr(work, "_micro_window", None)
+    if win is None:
+        search_dist = [int(work.cfg.search_dist)] * 3
+        ov0 = work.ovecs[0].vol if work.ovecs[0].vol.ndim == 4 \
+            else work.ovecs[0].vol[..., None]
+        if ov0.shape[3] == 1:
+            search_dist[int(np.argmax(work.ovecs[0].volres))] = 0
+        win = _search_window(search_dist)
+        work._micro_window = win
+    win_off, win_dir = win
+
+    pos_next = pos_now + vec_now * float(work.step_size)
+    inext = np.round(pos_next).astype(int)
+    if not ((0 <= inext[0] < nx) and (0 <= inext[1] < ny)
+            and (0 <= inext[2] < nz)):
+        return pos_now, vec_now, False
+    if not work.mask_array[tuple(inext)]:
+        return pos_now, vec_now, False
+
+    search_cos = float(np.cos(np.radians(work.cfg.search_ang)))
+    cells = inext[None, :] + win_off                       # [W, 3]
+    inb = ((cells >= 0) & (cells < np.array([nx, ny, nz]))).all(axis=1)
+    cand = np.where(inb)[0]
+    cand = cand[work.mask_array[tuple(cells[cand].T)]]
+    cand = cand[(win_dir[cand] @ vec_now) > search_cos]
+    if len(cand) == 0:
+        return pos_now, vec_now, False
+
+    wvec = work.ovec_arr[tuple(cells[cand].T)][:, 0, :].astype(np.float64)
+    cos = wvec @ vec_now
+    ib = int(np.argmax(np.abs(cos)))
+    if not np.isfinite(cos[ib]):
+        return pos_now, vec_now, False
+    vec_next = wvec[ib] if cos[ib] > 0 else -wvec[ib]
+    return cells[cand[ib]].astype(np.float64), vec_next, True
+
+
 def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
            f=None, fa: Optional[MRI] = None,
            mask: Optional[MRI] = None, seed: Optional[MRI] = None,
@@ -562,6 +649,14 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
 
     `odf` is accepted for API parity and ignored, exactly like the
     reference (src/stream.jl:730 declares it; nothing reads it).
+
+    Point precision: on accelerator backends the default wire encoding is
+    int8 error-feedback deltas, so returned coordinates are quantized to
+    a 1/254-voxel grid along each line (reconstruction error bounded by
+    ~2*step_size/127 ~= 0.008 voxel at the default step, with no drift).
+    Pass `exact_points=True` (or `wire="f32"`) for bit-exact float32
+    points at ~4x the device->host transfer cost; on CPU the exact path
+    is already the default.  See docs/parity.md.
     """
     del odf
     work = StreamWork(ovec, f=f, fa=fa, mask=mask, cfg=cfg, **kwargs)
@@ -640,9 +735,15 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
 
     # Wire encoding: exact float32 positions on CPU (or on user opt-out);
     # int8 error-feedback deltas on accelerators, where the device->host
-    # link is the bottleneck.
-    mode = "f32" if (cfg.exact_points or jax.default_backend() == "cpu") \
-        else "i8"
+    # link is the bottleneck.  cfg.wire forces one codec explicitly.
+    if cfg.wire not in ("auto", "f32", "i8"):
+        raise ValueError(f"Unknown wire mode {cfg.wire!r} "
+                         "(expected auto/f32/i8)")
+    if cfg.wire == "auto":
+        mode = "f32" if (cfg.exact_points
+                         or jax.default_backend() == "cpu") else "i8"
+    else:
+        mode = "f32" if cfg.exact_points else cfg.wire
     emit = "points" if mode == "f32" else "deltas"
     # full int8 range per step regardless of the configured step size
     qscale = 127.0 / max(float(step_size), 1e-6)

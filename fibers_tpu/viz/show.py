@@ -74,11 +74,23 @@ def vol_to_rgb(vol: np.ndarray, maxint: Optional[float] = None):
     segmentation colors; unit-norm size-3 axis -> vector map; otherwise
     grayscale.  Returns ([..., 3] RGB array, kind string).
     """
-    vals = np.unique(vol)
-    if np.isin(vals, color_lut.id).all():
-        lut_idx = np.searchsorted(color_lut.id, vol.astype(np.int64))
-        lut_idx = np.clip(lut_idx, 0, len(color_lut.id) - 1)
-        return color_lut.rgb[lut_idx], "segmentation"
+    # Segmentation detection needs np.unique over the volume — O(n log n)
+    # on multi-GB inputs.  Gate on cheap necessary conditions first: LUT
+    # ids are small non-negative integers, so any fractional/negative/
+    # large value rules a segmentation out without the full sort.
+    lut_max = float(color_lut.id[-1])
+    could_be_seg = (np.issubdtype(np.asarray(vol).dtype, np.integer)
+                    or vol.size <= (1 << 22))
+    if not could_be_seg:
+        probe = np.asarray(vol).reshape(-1)[:: max(1, vol.size // 4096)]
+        could_be_seg = bool(((probe >= 0) & (probe <= lut_max)
+                             & (probe == np.floor(probe))).all())
+    if could_be_seg:
+        vals = np.unique(vol)
+        if np.isin(vals, color_lut.id).all():
+            lut_idx = np.searchsorted(color_lut.id, vol.astype(np.int64))
+            lut_idx = np.clip(lut_idx, 0, len(color_lut.id) - 1)
+            return color_lut.rgb[lut_idx], "segmentation"
 
     for idim in np.nonzero(np.asarray(vol.shape) == 3)[0]:
         ss = (vol ** 2).sum(axis=idim, keepdims=True)
@@ -133,6 +145,11 @@ def disp(mri: MRI, mrimod: Optional[MRI] = None) -> None:
     # 3-frame slices may be vector maps; otherwise display the first frame
     rgb, kind = vol_to_rgb(sl if sl.shape[-1] == 3 else sl[..., 0])
 
+    # Zero voxels are transparent (alpha channel in the reference,
+    # src/show.jl:188-191): render them as the terminal default colors
+    # instead of black, and keep them transparent under modulation.
+    alpha = (rgb != 0).any(axis=-1)
+
     if mrimod is not None:
         if mrimod.vol.shape[:3] != mri.vol.shape[:3]:
             raise ValueError(
@@ -143,22 +160,26 @@ def disp(mri: MRI, mrimod: Optional[MRI] = None) -> None:
         mod = np.squeeze(mod) / max(float(mrimod.vol.max()), 1e-30)
         rgb = rgb * mod[..., None]
 
-    _ansi_show(np.clip(rgb, 0, 1))
+    _ansi_show(np.clip(rgb, 0, 1), alpha)
     print()
     info(mri)
 
 
-def _ansi_show(rgb: np.ndarray) -> None:
-    """Render a [w, h, 3] RGB array in the terminal with half blocks."""
+def _ansi_show(rgb: np.ndarray, alpha: Optional[np.ndarray] = None) -> None:
+    """Render a [w, h, 3] RGB array in the terminal with half blocks;
+    cells with alpha False use the terminal's default colors
+    (the transparency of the reference's RGBA compositing)."""
     img = np.transpose(rgb, (1, 0, 2))      # rows = h
+    a = np.ones(img.shape[:2], bool) if alpha is None else alpha.T
     h, w, _ = img.shape
     for y in range(0, h - 1, 2):
         line = []
         for x in range(w):
             rt, gt, bt = (int(c * 255) for c in img[y, x])
             rb, gb, bb = (int(c * 255) for c in img[y + 1, x])
-            line.append(f"\x1b[38;2;{rt};{gt};{bt}m"
-                        f"\x1b[48;2;{rb};{gb};{bb}m▀")
+            fg = f"\x1b[38;2;{rt};{gt};{bt}m" if a[y, x] else "\x1b[39m"
+            bg = f"\x1b[48;2;{rb};{gb};{bb}m" if a[y + 1, x] else "\x1b[49m"
+            line.append(fg + bg + ("▀" if a[y, x] else " "))
         print("".join(line) + "\x1b[0m")
 
 

@@ -246,7 +246,7 @@ class TestTrk:
         assert ft.trk_write(tr, p) is False
         t2 = ft.trk_read(p)
         assert t2.n_count == 3
-        assert t2.npts == [5, 8, 3]
+        assert list(t2.npts) == [5, 8, 3]
         for a, b in zip(t2.xyz, xyz):
             assert np.allclose(a, b, atol=1e-5)
         assert np.array_equal(t2.dim, tr.dim)
@@ -281,6 +281,31 @@ class TestTrk:
         tr = ft.str_merge(tr1, tr2)
         assert tr.n_count == 6
         assert len(tr.xyz) == 6
+
+
+    def test_truncated_file_dedicated_error(self, tmp_path, rng):
+        """A .trk cut mid-record (even mid-word) fails with the malformed-
+        stream error, not an opaque numpy one."""
+        tr, _ = self._tract(rng)
+        p = str(tmp_path / "t.trk")
+        ft.trk_write(tr, p)
+        data = open(p, "rb").read()
+        for cut in (len(data) - 5, len(data) - 2):
+            pt = str(tmp_path / f"trunc{cut}.trk")
+            open(pt, "wb").write(data[:cut])
+            with pytest.raises(ValueError, match="Malformed .trk"):
+                ft.trk_read(pt)
+
+    def test_sink_count_mismatch_raises(self, tmp_path, rng):
+        from fibers_tpu.io.trk import TrkSink
+
+        tr, xyz = self._tract(rng)
+        p = str(tmp_path / "bad.trk")
+        sink = TrkSink(p, tr, 5)    # promise 5 lines
+        sink.append(np.concatenate([m.T for m in xyz]),
+                    np.array([m.shape[1] for m in xyz]))  # deliver 3
+        with pytest.raises(IOError, match="5 streamlines but 3"):
+            sink.close()
 
 
 class TestStructConvention:

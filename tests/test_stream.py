@@ -335,3 +335,171 @@ class TestTrkSink:
         assert tr.n_count == 0
         back = ft.trk_read(p)
         assert back.n_count == 0
+
+
+class TestWireCodec:
+    """The int8 error-feedback delta wire is the production codec on
+    accelerators; force it on CPU so regressions are visible in CI."""
+
+    def _curved_setup(self):
+        shape = (24, 24, 5)
+        x, y = np.meshgrid(np.arange(24.0), np.arange(24.0), indexing="ij")
+        ang = np.arctan2(y - 11.5, x - 11.5) + np.pi / 2
+        v = np.zeros(shape + (3,), np.float32)
+        v[..., 0] = np.cos(ang)[..., None]
+        v[..., 1] = np.sin(ang)[..., None]
+        m = ft.MRI(vol=v)
+        m.vox2ras0 = np.eye(4, dtype=np.float32)
+        m.volsize = np.asarray(shape)
+        m.width, m.height, m.depth = shape
+        m.nframes = 3
+        m.set_geometry()
+        r = np.sqrt((x - 11.5) ** 2 + (y - 11.5) ** 2)
+        mask = ((r > 4) & (r < 10))[..., None].repeat(5, axis=2)
+        seedm = np.zeros(shape, bool)
+        seedm[6:18, 6:18, 2] = mask[6:18, 6:18, 2]
+        return m, mask, seedm
+
+    def test_i8_matches_f32(self):
+        ov, mask, seedm = self._curved_setup()
+        kw = dict(mask=_mask_mri(ov, mask), seed=_mask_mri(ov, seedm),
+                  nsub=2, seed_rng=3, len_max=60)
+        tr_exact = ft.stream(ov, wire="f32", **kw)
+        tr_i8 = ft.stream(ov, wire="i8", **kw)
+
+        assert tr_i8.n_count == tr_exact.n_count > 0
+        assert np.array_equal(np.asarray(tr_i8.npts),
+                              np.asarray(tr_exact.npts))
+        qscale = 127.0 / 0.5
+        err = np.abs(tr_i8.packed_xyz - tr_exact.packed_xyz).max()
+        assert err <= 2.0 / qscale, f"wire error {err} > 2/qscale"
+
+    def test_i8_sink_consistent(self, tmp_path):
+        ov, mask, seedm = self._curved_setup()
+        kw = dict(mask=_mask_mri(ov, mask), seed=_mask_mri(ov, seedm),
+                  nsub=1, len_max=60)
+        tr_mem = ft.stream(ov, wire="i8", **kw)
+        p = str(tmp_path / "i8.trk")
+        ft.stream(ov, wire="i8", trk_sink=p, **kw)
+        back = ft.trk_read(p)
+        assert back.n_count == tr_mem.n_count
+        assert np.allclose(back.packed_xyz, tr_mem.packed_xyz, atol=1e-4)
+
+    def test_bad_wire_mode(self):
+        ov, mask, seedm = self._curved_setup()
+        with pytest.raises(ValueError, match="wire"):
+            ft.stream(ov, mask=_mask_mri(ov, mask), wire="i4")
+
+
+class TestNewPointExports:
+    """stream_new_point / stream_micro_new_point single-step parity with
+    the per-voxel oracle (reference exports stream_new_point! /
+    stream_micro_new_point!, src/stream.jl:7-8)."""
+
+    def test_new_point_matches_oracle_chain(self):
+        from oracle import stream_line_oracle
+
+        rng = np.random.default_rng(5)
+        shape = (12, 12, 12)
+        v = rng.standard_normal(shape + (2, 3)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        mask = np.ones(shape, bool)
+        mask[:2] = mask[-2:] = False
+
+        ovs = []
+        for i in range(2):
+            m = ft.MRI(vol=v[..., i, :])
+            m.vox2ras0 = np.eye(4, dtype=np.float32)
+            m.volsize = np.asarray(shape)
+            m.width, m.height, m.depth = shape
+            m.nframes = 3
+            m.set_geometry()
+            ovs.append(m)
+
+        work = ft.StreamWork(ovs, mask=_mask_mri(ovs[0], mask),
+                             smooth_coeff=0.0, ang_thresh=90.0)
+        ovecs_masked = v * mask[..., None, None]
+
+        # Rebuild the full bidirectional line with stream_new_point using
+        # the reference's driver loop, and compare against the line oracle
+        seed = np.array([6, 6, 6])
+        len_max = 10
+        cos_thr = np.cos(np.radians(90.0))
+        oracle_pts = stream_line_oracle(
+            seed, np.zeros(3), ovecs_masked, mask, smooth_coeff=0.0,
+            cosang_thresh=cos_thr, len_max=len_max)
+
+        strline = []
+        npts = 0
+        for fwd in (1, -1):
+            pos = seed.astype(float)
+            vec = ovecs_masked[6, 6, 6, 0].astype(float) * fwd
+            addpt = (lambda p: strline.insert(0, p)) if fwd == 1 else \
+                strline.append
+            while True:
+                pos_next, vec_next, ok = ft.stream_new_point(pos, vec, work)
+                if not ok:
+                    break
+                addpt(pos.copy())
+                npts += 1
+                if float(vec @ vec_next) < cos_thr:
+                    break
+                if npts > len_max:
+                    break
+                pos, vec = pos_next, vec_next
+
+        assert len(strline) > 0
+        assert np.allclose(np.asarray(strline), oracle_pts, atol=1e-5)
+
+    def test_micro_new_point_matches_oracle_chain(self):
+        from oracle import stream_micro_line_oracle
+
+        rng = np.random.default_rng(7)
+        shape = (16, 16, 16)
+        v = rng.standard_normal(shape + (1, 3)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        v[..., 0, :] = (v[..., 0, :] + np.array([1.5, 0, 0])) \
+            / np.linalg.norm(v[..., 0, :] + np.array([1.5, 0, 0]),
+                             axis=-1, keepdims=True)
+        mask = np.ones(shape, bool)
+
+        m = ft.MRI(vol=v[..., 0, :])
+        m.vox2ras0 = np.eye(4, dtype=np.float32)
+        m.volsize = np.asarray(shape)
+        m.width, m.height, m.depth = shape
+        m.nframes = 3
+        m.set_geometry()
+
+        work = ft.StreamWork(m, mask=_mask_mri(m, mask), smooth_coeff=0.0,
+                             ang_thresh=90.0, search_dist=3, search_ang=60.0,
+                             step_size=1.0)
+
+        seed = np.array([8, 8, 8])
+        len_max = 6
+        cos_thr = np.cos(np.radians(90.0))
+        oracle_pts = stream_micro_line_oracle(
+            seed, v, mask, (3, 3, 3), search_ang=60.0, step_size=1.0,
+            ang_thresh=90.0, smooth_coeff=0.0, len_max=len_max)
+
+        strline = []
+        npts = 0
+        for fwd in (1, -1):
+            pos = seed.astype(float)
+            vec = v[8, 8, 8, 0].astype(float) * fwd
+            addpt = (lambda p: strline.insert(0, p)) if fwd == 1 else \
+                strline.append
+            while True:
+                pos_next, vec_next, ok = ft.stream_micro_new_point(
+                    pos, vec, work)
+                if not ok:
+                    break
+                addpt(pos.copy())
+                npts += 1
+                if float(vec @ vec_next) < cos_thr:
+                    break
+                if npts > len_max:
+                    break
+                pos, vec = pos_next, vec_next
+
+        assert len(strline) > 0
+        assert np.allclose(np.asarray(strline), oracle_pts, atol=1e-5)
