@@ -133,52 +133,94 @@ def _angular_neighbors(odf_dirs: ODF):
     return nbr, ok
 
 
-def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz):
-    """Total-variation multiplier for every component, chunked so only
-    _TV_CHUNK component volumes are live at a time.
+def _tv_stencil(v, lam):
+    """Forward-difference gradient, normalized, then divergence — the TV
+    multiplier volume for a [C, nx, ny, nz] component stack.
+    (reference: src/rusd.jl:183-235)"""
+    # Forward differences with clamped upper edge
+    # (reference: src/rusd.jl:183-188)
+    gx = jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1) - v
+    gy = jnp.concatenate([v[:, :, 1:], v[:, :, -1:]], axis=2) - v
+    gz = jnp.concatenate([v[:, :, :, 1:], v[:, :, :, -1:]], axis=3) - v
+
+    norm = jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-7)
+    gx, gy, gz = gx / norm, gy / norm, gz / norm
+
+    # Divergence with boundary rows (reference: src/rusd.jl:194-206)
+    def ddiv(gr, axis):
+        ax = axis + 1
+        lead = jax.lax.slice_in_dim(gr, 0, 1, axis=ax)
+        mid = (jax.lax.slice_in_dim(gr, 1, gr.shape[ax] - 1, axis=ax)
+               - jax.lax.slice_in_dim(gr, 0, gr.shape[ax] - 2, axis=ax))
+        last = -jax.lax.slice_in_dim(gr, gr.shape[ax] - 2,
+                                     gr.shape[ax] - 1, axis=ax)
+        return jnp.concatenate([lead, mid, last], axis=ax)
+
+    div = ddiv(gx, 0) + ddiv(gy, 1) + ddiv(gz, 2)
+    div = div.astype(jnp.float32)
+    return 1.0 / (jnp.abs(1.0 - lam[None] * div) + 1e-7)
+
+
+def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz, mesh=None,
+             tv_bf16=False):
+    """Total-variation multiplier for every component.
     (reference: src/rusd.jl:183-235, src/rusd.jl:282-296)
 
     The mask embedding uses `gidx` (volume voxel -> batch row, padding
     row for out-of-mask) so it lowers to a GATHER — a scatter here
     measured ~1.7 s/iteration at HCP scale, ~90x the rest of the
-    iteration combined."""
+    iteration combined.  `shape3`/`nxyz`/`gidx`/`idx_mask` describe the
+    TV grid, which rumba_rec crops to the mask bounding box + 1-voxel
+    halo (exact: every stencil value a mask voxel reads is reproduced).
+
+    Single-device: components are processed in lax.map chunks so only
+    _TV_CHUNK volumes are live at a time.  With `mesh`, the component
+    axis is sharded across the mesh instead — each device owns whole TV
+    volumes for its components, so the stencil and both gathers stay
+    device-local; the only collectives are the two transposes (batch-
+    sharded fodf -> component-sharded stack and back), which GSPMD
+    lowers to all-to-alls over ICI.
+
+    `tv_bf16` evaluates the stencil volumes in bfloat16 (the multiplier
+    is regularization, not the estimate; HBM traffic halves)."""
     n, ncomp = fodf.shape
+    nmask = idx_mask.shape[0]
+    # gather-back index padded to the row count (padding rows read cell 0
+    # of the TV grid; their fODF is identically zero so the value is moot)
+    idx_back = idx_mask if nmask == n else jnp.concatenate(
+        [idx_mask, jnp.zeros(n - nmask, idx_mask.dtype)])
+
+    lam = lam_flat.reshape(shape3)
+    dt = jnp.bfloat16 if tv_bf16 else fodf.dtype
+
+    if mesh is not None:
+        # Component-parallel path: all components at once, sharded over
+        # every mesh device.  [ncomp_pad, n+1] with the component axis
+        # on ("data", "model").
+        ndev = mesh.devices.size
+        pad = (-ncomp) % ndev
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        comp_sharded = NamedSharding(mesh, P(("data", "model"), None))
+        fodf_p = jnp.pad(fodf.T.astype(dt), ((0, pad), (0, 1)))
+        fodf_p = jax.lax.with_sharding_constraint(fodf_p, comp_sharded)
+        v = jnp.take(fodf_p, gidx, axis=1).reshape((ncomp + pad,) + shape3)
+        tv = _tv_stencil(v, lam).reshape(ncomp + pad, nxyz)
+        tv = tv[:, idx_back][:ncomp].T
+        return jax.lax.with_sharding_constraint(
+            tv, NamedSharding(mesh, P("data", None)))
+
     pad = (-ncomp) % _TV_CHUNK
     nchunks = (ncomp + pad) // _TV_CHUNK
     # pad components to the chunk size AND append the zero padding row
     # (the gather target for out-of-mask voxels) once, up front
-    fodf_p = jnp.pad(fodf.T, ((0, pad), (0, 1)))
+    fodf_p = jnp.pad(fodf.T.astype(dt), ((0, pad), (0, 1)))
     chunks = fodf_p.reshape(nchunks, _TV_CHUNK, n + 1)
-
-    lam = lam_flat.reshape(shape3)
 
     def one_chunk(chunk):
         vol = jnp.take(chunk, gidx, axis=1)        # [chunk, nxyz] gather
         v = vol.reshape((_TV_CHUNK,) + shape3)
-
-        # Forward differences with clamped upper edge
-        # (reference: src/rusd.jl:183-188)
-        gx = jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1) - v
-        gy = jnp.concatenate([v[:, :, 1:], v[:, :, -1:]], axis=2) - v
-        gz = jnp.concatenate([v[:, :, :, 1:], v[:, :, :, -1:]], axis=3) - v
-
-        norm = jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-7)
-        gx, gy, gz = gx / norm, gy / norm, gz / norm
-
-        # Divergence with boundary rows (reference: src/rusd.jl:194-206)
-        def ddiv(gr, axis):
-            ax = axis + 1
-            lead = jax.lax.slice_in_dim(gr, 0, 1, axis=ax)
-            mid = (jax.lax.slice_in_dim(gr, 1, gr.shape[ax] - 1, axis=ax)
-                   - jax.lax.slice_in_dim(gr, 0, gr.shape[ax] - 2, axis=ax))
-            last = -jax.lax.slice_in_dim(gr, gr.shape[ax] - 2,
-                                         gr.shape[ax] - 1, axis=ax)
-            return jnp.concatenate([lead, mid, last], axis=ax)
-
-        div = ddiv(gx, 0) + ddiv(gy, 1) + ddiv(gz, 2)
-
-        tv = 1.0 / (jnp.abs(1.0 - lam[None] * div) + 1e-7)
-        return tv.reshape(_TV_CHUNK, nxyz)[:, idx_mask]
+        tv = _tv_stencil(v, lam)
+        return tv.reshape(_TV_CHUNK, nxyz)[:, idx_back]
 
     tv_chunks = jax.lax.map(one_chunk, chunks)
     return tv_chunks.reshape(nchunks * _TV_CHUNK, n)[:ncomp].T
@@ -186,14 +228,16 @@ def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz):
 
 def _gather_index(idx_mask, n, nxyz):
     """Volume-voxel -> batch-row index (out-of-mask -> padding row n),
-    turning the per-iteration mask embedding into a gather."""
+    turning the per-iteration mask embedding into a gather.  `n` may
+    exceed len(idx_mask) when the batch carries padding rows; those rows
+    are simply never gathered."""
     return jnp.full((nxyz,), n, jnp.int32).at[idx_mask].set(
-        jnp.arange(n, dtype=jnp.int32))
+        jnp.arange(idx_mask.shape[0], dtype=jnp.int32))
 
 
 def _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
                      idx_mask, gidx, n_order, ipat_factor, use_tv, shape3,
-                     nxyz, precision="high"):
+                     nxyz, precision="high", mesh=None, tv_bf16=False):
     """One RUMBA-SD iteration over the voxel batch (traceable body shared
     by the single-step and fori_loop-block entry points).
     (reference: src/rusd.jl:266-339)"""
@@ -207,7 +251,8 @@ def _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
     rl = rl_num / rl_den
 
     if use_tv:
-        tv = _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz)
+        tv = _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz,
+                      mesh=mesh, tv_bf16=tv_bf16)
     else:
         tv = 1.0
 
@@ -223,34 +268,39 @@ def _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
     sig2 = resid.sum(axis=1, keepdims=True) / (n_order * ndir)
     sig2 = jnp.clip(sig2, (1.0 / 80) ** 2, (1.0 / 8) ** 2)
 
-    # Lambda update (reference: src/rusd.jl:326-339)
+    # Lambda update (reference: src/rusd.jl:326-339).  With padding rows
+    # in the batch, the mean and scatter use only the real voxels.
+    nmask = idx_mask.shape[0]
     if use_tv:
         if ipat_factor == 1:
             lam_flat = jnp.full_like(
-                lam_flat, jnp.maximum(sig2.mean(), (1.0 / 30) ** 2))
+                lam_flat, jnp.maximum(sig2[:nmask].mean(), (1.0 / 30) ** 2))
         else:
-            lam_flat = jnp.zeros_like(lam_flat).at[idx_mask].set(sig2[:, 0])
+            lam_flat = jnp.zeros_like(lam_flat).at[idx_mask].set(
+                sig2[:nmask, 0])
 
     snr = 1.0 / jnp.sqrt(sig2)
     return fodf, dodf, dodf_sig, sig2, lam_flat, snr
 
 
 @partial(jax.jit, static_argnames=("n_order", "ipat_factor", "use_tv",
-                                   "shape3", "nxyz", "precision"))
+                                   "shape3", "nxyz", "precision", "mesh",
+                                   "tv_bf16"))
 def _rumba_step(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
                 idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz,
-                precision="high"):
+                precision="high", mesh=None, tv_bf16=False):
     gidx = _gather_index(idx_mask, fodf.shape[0], nxyz)
     return _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal,
                             kernel, idx_mask, gidx, n_order, ipat_factor,
-                            use_tv, shape3, nxyz, precision)
+                            use_tv, shape3, nxyz, precision, mesh, tv_bf16)
 
 
 @partial(jax.jit, static_argnames=("k", "n_order", "ipat_factor", "use_tv",
-                                   "shape3", "nxyz", "precision"))
+                                   "shape3", "nxyz", "precision", "mesh",
+                                   "tv_bf16"))
 def _rumba_block(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
                  idx_mask, k, n_order, ipat_factor, use_tv, shape3, nxyz,
-                 precision="high"):
+                 precision="high", mesh=None, tv_bf16=False):
     """k RUMBA-SD iterations in one dispatch via lax.fori_loop — on
     high-latency runtimes per-call dispatch would otherwise dominate the
     600-iteration fit."""
@@ -262,7 +312,7 @@ def _rumba_block(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
         return _rumba_step_core(
             fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
             idx_mask, gidx, n_order, ipat_factor, use_tv, shape3, nxyz,
-            precision)
+            precision, mesh, tv_bf16)
 
     return jax.lax.fori_loop(
         0, k, body, (fodf, dodf, dodf_sig, sig2, lam_flat, snr))
@@ -345,6 +395,42 @@ def rumba_peaks(fodf, f_iso, odf_dirs: ODF = None, thr: float = FTHRESH):
     return np.asarray(isort), np.asarray(nvalid)
 
 
+def _tv_bbox(mask_vol, idx, shape3):
+    """Crop the TV grid to the mask bounding box + 1-voxel halo (clamped
+    to the volume).  Exact: every gradient/divergence cell a mask voxel
+    reads lives within the halo, and cells at the halo edge reproduce the
+    full-volume values (their neighbors there are all out-of-mask zeros,
+    matching the clamped-edge stencil).  Returns (tv_shape3, tv_nxyz,
+    idx_tv) with idx_tv the mask voxels' flat indices within the crop."""
+    m = np.asarray(mask_vol)
+    if m.ndim == 4:
+        m = m[..., 0]
+    xyz = np.unravel_index(idx, shape3)
+    lo = [max(int(c.min()) - 1, 0) if len(c) else 0 for c in xyz]
+    hi = [min(int(c.max()) + 2, s) if len(c) else s
+          for c, s in zip(xyz, shape3)]
+    tv_shape3 = tuple(h - l for l, h in zip(lo, hi))
+    tv_nxyz = int(np.prod(tv_shape3))
+    idx_tv = (((xyz[0] - lo[0]) * tv_shape3[1] + (xyz[1] - lo[1]))
+              * tv_shape3[2] + (xyz[2] - lo[2])).astype(np.int64)
+    return tv_shape3, tv_nxyz, idx_tv
+
+
+@jax.jit
+def _signal_from_batch(signals, ib0_idx, idwi_idx):
+    """b0-normalized RUMBA signal matrix from a prepared [N, nvol] voxel
+    batch, on device (reference: src/rusd.jl:450-465).  Zero padding rows
+    yield all-zero signal rows (their fODF collapses to 0 after one
+    iteration)."""
+    b0 = jnp.maximum(jnp.take(signals, ib0_idx, axis=1), 0).mean(axis=1)
+    dwis = jnp.maximum(jnp.take(signals, idwi_idx, axis=1), 0)
+    dwis = jnp.where(b0[:, None] > 0,
+                     dwis / jnp.maximum(b0[:, None], 1e-30), 0.0)
+    sig = jnp.concatenate([(b0 > 0).astype(jnp.float32)[:, None], dwis],
+                          axis=1)
+    return jnp.minimum(sig, 1.0)
+
+
 def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
               niter: int = 600, lam_para: float = 1.7e-3,
               lam_perp: float = 0.2e-3, lam_csf: float = 3.0e-3,
@@ -353,7 +439,8 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
               use_tv: bool = True, verbose: bool = False,
               checkpoint_path: str = None,
               checkpoint_every: int = 0,
-              precision: str = "high") -> RUMBASD:
+              precision: str = "high", batch=None, mesh=None,
+              tv_bf16: bool = False) -> RUMBASD:
     """RUMBA-SD reconstruction of DWIs.  (reference: src/rusd.jl:419-636)
 
     With `checkpoint_path` set, the iteration state (fodf, sigma^2, lambda)
@@ -365,6 +452,15 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     `precision`: MXU precision of the R-L GEMMs — "high" (default,
     3-pass bf16 ~ float32 quality), "highest" (true f32), or "default"
     (single-pass bf16, fastest).
+
+    `batch`: optional prepared `VoxelBatch` (core.batch.prepare_batch) to
+    reuse one gather/upload across fits; the b0 normalization then runs
+    on device.  `mesh`: a jax.sharding.Mesh to run data-parallel — the
+    voxel batch shards over the mesh's "data" axis and the TV term
+    reshards over components so its stencils stay device-local (inferred
+    automatically from a mesh-sharded `batch`).  `tv_bf16` evaluates the
+    TV stencil volumes in bfloat16 (~half the HBM traffic of the
+    dominant term; the R-L estimate itself stays float32).
     """
     if dwi.bval is None or len(dwi.bval) == 0:
         raise ValueError("Missing b-value table from input DWI structure")
@@ -384,8 +480,7 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         odf_dirs = _odf.sphere_724
 
     shape3 = tuple(int(s) for s in mask.vol.shape[:3])
-    nxyz = int(np.prod(shape3))
-    idx = mask_indices(mask.vol)
+    idx = batch.idx if batch is not None else mask_indices(mask.vol)
     nmask = len(idx)
 
     bval = np.asarray(dwi.bval, np.float32)
@@ -395,18 +490,43 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     ndir, ncomp = kernel.shape
     nvert = ncomp - 2
 
+    # TV runs on the mask bounding box + halo, not the full volume: at
+    # HCP scale ~45% of the volume is air the reference's full-grid
+    # stencils (src/rusd.jl:282-296) recompute every iteration.
+    tv_shape3, tv_nxyz, idx_tv = _tv_bbox(mask.vol, idx, shape3)
+
+    # Infer the mesh from a sharded prepared batch
+    if mesh is None and batch is not None:
+        from jax.sharding import NamedSharding
+        shd = getattr(batch.signals, "sharding", None)
+        if (isinstance(shd, NamedSharding)
+                and "data" in shd.mesh.axis_names
+                and shd.mesh.devices.size > 1):
+            mesh = shd.mesh
+
+    from ..ops.transfer import to_device
+
     # Signal matrix: average b0 first, then DWIs, normalized by b0
     # (reference: src/rusd.jl:450-465)
-    vol = np.asarray(dwi.vol)
-    flat = vol.reshape(-1, vol.shape[3])
-    b0_mean = np.maximum(flat[idx][:, ib0], 0).mean(axis=1)
-    dwis = np.maximum(flat[idx][:, ~ib0], 0)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        dwis = dwis / b0_mean[:, None]
-    dwis[~np.isfinite(dwis)] = 0
-    signal = np.concatenate([(b0_mean > 0).astype(np.float32)[:, None],
-                             dwis.astype(np.float32)], axis=1)
-    signal = np.minimum(signal, 1.0)
+    if batch is not None:
+        signal_j = _signal_from_batch(
+            batch.signals,
+            jnp.asarray(np.flatnonzero(ib0)),
+            jnp.asarray(np.flatnonzero(~ib0)))
+        n_rows = batch.n_pad
+    else:
+        vol = np.asarray(dwi.vol)
+        flat = vol.reshape(-1, vol.shape[3])
+        b0_mean = np.maximum(flat[idx][:, ib0], 0).mean(axis=1)
+        dwis = np.maximum(flat[idx][:, ~ib0], 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dwis = dwis / b0_mean[:, None]
+        dwis[~np.isfinite(dwis)] = 0
+        signal = np.concatenate([(b0_mean > 0).astype(np.float32)[:, None],
+                                 dwis.astype(np.float32)], axis=1)
+        signal = np.minimum(signal, 1.0)
+        signal_j = to_device(signal)
+        n_rows = nmask
 
     nbr, nbr_ok = _angular_neighbors(odf_dirs)
     half_verts = odf_dirs.vertices[:nvert].astype(np.float32)
@@ -416,27 +536,35 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     sigma0 = 1.0 / 15
     lam0 = sigma0 ** 2
 
-    from ..ops.transfer import to_device
+    def place(x):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
 
-    fodf = jnp.broadcast_to(jnp.asarray(fodf0), (nmask, ncomp)).copy()
-    dodf = jnp.broadcast_to(jnp.asarray(kernel @ fodf0), (nmask, ndir)).copy()
-    sig2 = jnp.full((nmask, 1), lam0, jnp.float32)
-    signal_j = to_device(signal)
+    fodf = place(jnp.broadcast_to(jnp.asarray(fodf0),
+                                  (n_rows, ncomp)).copy())
+    dodf = place(jnp.broadcast_to(jnp.asarray(kernel @ fodf0),
+                                  (n_rows, ndir)).copy())
+    sig2 = place(jnp.full((n_rows, 1), lam0, jnp.float32))
     dodf_sig = (signal_j * dodf) / sig2
-    lam_flat = jnp.full((nxyz,), lam0, jnp.float32)
+    lam_flat = jnp.full((tv_nxyz,), lam0, jnp.float32)
     kernel_j = jnp.asarray(kernel)
-    idx_j = jnp.asarray(idx)
+    idx_j = jnp.asarray(idx_tv)
 
     # Resume from checkpoint if present
     it_start = 0
     if checkpoint_path is not None and os.path.isfile(checkpoint_path):
         with np.load(checkpoint_path) as ck:
-            # match on the problem (voxels, components); `niter` may
-            # differ — resuming into a longer run is the point of resume
+            # match on the problem (voxels, components, TV grid); `niter`
+            # may differ — resuming into a longer run is the point
             if (int(ck["nmask"]) == nmask and int(ck["ncomp"]) == ncomp
+                    and ck["lam_flat"].size == tv_nxyz
+                    and ck["fodf"].shape[0] == n_rows
                     and int(ck["iteration"]) <= niter):
-                fodf = jnp.asarray(ck["fodf"])
-                sig2 = jnp.asarray(ck["sig2"])
+                fodf = place(jnp.asarray(ck["fodf"]))
+                sig2 = place(jnp.asarray(ck["sig2"]))
                 lam_flat = jnp.asarray(ck["lam_flat"])
                 dodf = jnp.dot(fodf, kernel_j.T,
                                precision=jax.lax.Precision.HIGHEST)
@@ -466,12 +594,12 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             k = min(k, _BLOCK_ITERS)
             fodf, dodf, dodf_sig, sig2, lam_flat, snr = _rumba_block(
                 fodf, dodf, dodf_sig, sig2, lam_flat, signal_j, kernel_j,
-                idx_j, k, n_order, ipat_factor, use_tv, shape3, nxyz,
-                precision)
+                idx_j, k, n_order, ipat_factor, use_tv, tv_shape3, tv_nxyz,
+                precision, mesh, tv_bf16)
             it += k
             if verbose:
-                sm = float(snr.mean())
-                ss = float(snr.std(ddof=1)) if nmask > 1 else 0.0
+                sm = float(snr[:nmask].mean())
+                ss = float(snr[:nmask].std(ddof=1)) if nmask > 1 else 0.0
                 print(f"Iteration {it} of {niter}")
                 print(f"Estimated mean SNR (s0/sigma) = {sm} (+-) {ss}")
             if (checkpoint_path is not None and checkpoint_every > 0
@@ -482,7 +610,7 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                          nmask=nmask, ncomp=ncomp, niter=niter)
                 os.replace(tmp, checkpoint_path)
 
-    snr_np = np.asarray(snr)[:, 0]
+    snr_np = np.asarray(snr)[:nmask, 0]
     snr_mean = float(snr_np.mean())
     snr_std = float(snr_np.std(ddof=1)) if nmask > 1 else 0.0
 
@@ -498,10 +626,10 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             fodf_full, f_iso_d, jnp.asarray(half_verts), jnp.asarray(nbr),
             jnp.asarray(nbr_ok), FTHRESH)
 
-        vecs = to_host(vecs_d)
-        fgm_v = np.asarray(fgm_d)
-        fcsf_v = np.asarray(fcsf_d)
-        gfa_v = np.asarray(gfa_d)
+        vecs = to_host(vecs_d, n_lead=nmask)
+        fgm_v = np.asarray(fgm_d)[:nmask]
+        fcsf_v = np.asarray(fcsf_d)[:nmask]
+        gfa_v = np.asarray(gfa_d)[:nmask]
 
     def vol_of(arr, nframes):
         m = MRI.like(mask, nframes, np.float32)
@@ -521,7 +649,7 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         fcsf=vol_of(fcsf_v.astype(np.float32), 1),
         peak=peak,
         gfa=vol_of(gfa_v.astype(np.float32), 1),
-        var=vol_of(np.asarray(sig2)[:, 0], 1),
+        var=vol_of(np.asarray(sig2)[:nmask, 0], 1),
         snr_mean=snr_mean,
         snr_std=snr_std,
     )

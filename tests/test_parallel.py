@@ -112,3 +112,32 @@ class TestShardedBatchAPI:
         np.testing.assert_allclose(np.asarray(gqi_sharded.odf.vol),
                                    np.asarray(gqi_local.odf.vol),
                                    rtol=1e-4, atol=2e-5)
+
+
+class TestShardedRumba:
+    def test_rumba_sharded_equals_local_with_tv(self):
+        """rumba_rec over a mesh-sharded VoxelBatch — WITH the TV term,
+        whose stencils reshard over the component axis — matches the
+        single-device fit."""
+        _require_devices(8)
+        import fibers_tpu as ft
+        from fibers_tpu.parallel.mesh import make_mesh
+        from phantom import make_phantom
+
+        dwi, mask, _, _ = make_phantom(shape=(6, 5, 4), ndir=30)
+        local = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=8)
+
+        mesh = make_mesh(8, model_axis=2)
+        batch = ft.prepare_batch(dwi, mask, mesh=mesh)
+        sharded = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=8,
+                               batch=batch)
+
+        np.testing.assert_allclose(np.asarray(sharded.fodf.vol),
+                                   np.asarray(local.fodf.vol),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(sharded.gfa.vol, local.gfa.vol,
+                                   rtol=1e-4, atol=1e-6)
+        for p_s, p_l in zip(sharded.peak, local.peak):
+            np.testing.assert_allclose(p_s.vol, p_l.vol,
+                                       rtol=1e-3, atol=1e-5)
+        assert abs(sharded.snr_mean - local.snr_mean) < 1e-2

@@ -160,3 +160,93 @@ class TestCheckpoint:
         rec = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4,
                            checkpoint_path=ck)
         assert np.isfinite(rec.fodf.vol).all()
+
+
+class TestTVBboxCrop:
+    def test_crop_matches_full_volume_grid(self):
+        """rumba_rec crops the TV grid to the mask bbox + halo; with an
+        interior mask in a larger volume this must be EXACTLY the
+        full-volume stencil of the reference (src/rusd.jl:183-235)."""
+        import jax.numpy as jnp
+        from fibers_tpu.models.rumba import (_build_kernel, _rumba_post,
+                                             _rumba_step)
+        from fibers_tpu.ops.masked import mask_indices
+
+        dwi, _, _, _ = make_phantom(shape=(4, 4, 4), ndir=30)
+        # embed in a 10^3 volume, mask strictly interior at [3:7]^3
+        shape = (10, 10, 10)
+        vol = np.zeros(shape + (dwi.vol.shape[3],), np.float32)
+        vol[3:7, 3:7, 3:7] = dwi.vol
+        big = ft.MRI(vol=vol)
+        big.vox2ras0 = np.eye(4, dtype=np.float32)
+        big.volsize = np.asarray(shape)
+        big.width, big.height, big.depth = shape
+        big.nframes = vol.shape[3]
+        big.set_geometry()
+        big.bval, big.bvec = dwi.bval, dwi.bvec
+        mask = ft.MRI.like(big, 1, np.float32)
+        mask.vol = np.zeros(shape, np.float32)
+        mask.vol[3:7, 3:7, 3:7] = 1
+
+        niter = 6
+        rec = ft.rumba_rec(big, mask, ft.sphere_362, niter=niter)
+
+        # manual full-volume-grid iteration (pre-crop semantics)
+        idx = mask_indices(mask.vol)
+        n = len(idx)
+        kernel, ib0 = _build_kernel(big.bval, big.bvec, ft.sphere_362,
+                                    1.7e-3, 0.2e-3, 3.0e-3, 0.8e-4)
+        ndirk, ncomp = kernel.shape
+        flat = vol.reshape(-1, vol.shape[3])
+        b0m = np.maximum(flat[idx][:, ib0], 0).mean(axis=1)
+        dwis = np.maximum(flat[idx][:, ~ib0], 0) / b0m[:, None]
+        signal = np.minimum(np.concatenate(
+            [(b0m > 0).astype(np.float32)[:, None],
+             dwis.astype(np.float32)], axis=1), 1.0)
+
+        fodf0 = np.full(ncomp, 1.0 / ncomp, np.float32)
+        lam0 = (1.0 / 15) ** 2
+        st = (jnp.broadcast_to(jnp.asarray(fodf0), (n, ncomp)).copy(),
+              jnp.broadcast_to(jnp.asarray(kernel @ fodf0),
+                               (n, ndirk)).copy(),
+              None, jnp.full((n, 1), lam0, jnp.float32),
+              jnp.full((int(np.prod(shape)),), lam0, jnp.float32))
+        sig_j = jnp.asarray(signal)
+        st = (st[0], st[1], (sig_j * st[1]) / st[3], st[3], st[4])
+        for _ in range(niter):
+            f, d, ds, s2, lam, _snr = _rumba_step(
+                *st, sig_j, jnp.asarray(kernel), jnp.asarray(idx),
+                1, 1, True, shape, int(np.prod(shape)))
+            st = (f, d, ds, s2, lam)
+
+        fodf_full, fgm, fcsf, f_iso, gfa = _rumba_post(st[0], ncomp - 2)
+        got = np.asarray(rec.fodf.vol)[3:7, 3:7, 3:7]
+        want = np.asarray(fodf_full).reshape(4, 4, 4, ncomp - 2)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(rec.var.vol)[3:7, 3:7, 3:7].reshape(-1),
+            np.asarray(st[3])[:, 0], rtol=1e-6, atol=1e-9)
+
+    def test_batch_reuse_matches_host_path(self):
+        dwi, mask, _, _ = make_phantom(shape=(4, 4, 4), ndir=30)
+        base = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=8)
+        batch = ft.prepare_batch(dwi, mask)
+        reused = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=8,
+                              batch=batch)
+        np.testing.assert_allclose(np.asarray(reused.fodf.vol),
+                                   np.asarray(base.fodf.vol),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(reused.gfa.vol, base.gfa.vol,
+                                   rtol=1e-5, atol=1e-7)
+        assert abs(reused.snr_mean - base.snr_mean) < 1e-3
+
+    def test_tv_bf16_close_to_f32(self):
+        dwi, mask, _, _ = make_phantom(shape=(4, 4, 4), ndir=30)
+        f32 = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=10)
+        b16 = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=10,
+                           tv_bf16=True)
+        # TV is a bounded multiplicative regularizer; bf16 stencils move
+        # the fODF by well under a percent of its scale
+        np.testing.assert_allclose(np.asarray(b16.fodf.vol),
+                                   np.asarray(f32.fodf.vol),
+                                   rtol=0.05, atol=2e-3)
