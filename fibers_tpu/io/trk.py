@@ -80,9 +80,12 @@ class Tract:
     # Python list of small matrices.  `materialize()` exposes the list
     # view on demand; trk_write has a vectorized writer for this layout.
     packed_xyz: Optional[np.ndarray] = None
+    packed_scalars: Optional[np.ndarray] = None   # [total, n_scalars]
 
-    def set_packed(self, flat_pts: np.ndarray, npts: np.ndarray) -> None:
-        """Adopt packed streamline storage ([total, 3] + counts).
+    def set_packed(self, flat_pts: np.ndarray, npts: np.ndarray,
+                   scalars: Optional[np.ndarray] = None) -> None:
+        """Adopt packed streamline storage ([total, 3] + counts +
+        optional per-point scalars [total, ns]).
 
         `npts` is always an int32 ndarray in packed mode (materialize()
         converts it to the list representation used by the per-line
@@ -92,6 +95,14 @@ class Tract:
         self.n_count = int(len(npts))
         self.xyz = []
         self.scalars = []
+        if scalars is not None:
+            scalars = np.asarray(scalars, np.float32)
+            if scalars.ndim == 1:
+                scalars = scalars[:, None]
+            self.packed_scalars = np.ascontiguousarray(scalars)
+            self.n_scalars = scalars.shape[1]
+        else:
+            self.packed_scalars = None
 
     def materialize(self) -> None:
         """Populate the per-streamline `xyz` list from packed storage
@@ -103,8 +114,13 @@ class Tract:
         self.__dict__["xyz"] = [
             self.packed_xyz[offsets[i]:offsets[i + 1]].T
             for i in range(self.n_count)]
-        self.scalars = [np.zeros((0, int(n)), np.float32)
-                        for n in np.asarray(self.npts)]
+        if self.packed_scalars is not None:
+            self.scalars = [
+                self.packed_scalars[offsets[i]:offsets[i + 1]].T
+                for i in range(self.n_count)]
+        else:
+            self.scalars = [np.zeros((0, int(n)), np.float32)
+                            for n in np.asarray(self.npts)]
         self.npts = [int(n) for n in np.asarray(self.npts)]
 
     @classmethod
@@ -448,41 +464,52 @@ def _trk_header_bytes(tr: Tract) -> bytes:
     return buf.getvalue()
 
 
-def _trk_write_packed(tr: Tract, outfile: str) -> bool:
-    """Vectorized writer for packed tractograms with no scalars/properties:
-    builds the record stream [npts_i, 3*npts_i floats]... as one flat f32
-    buffer with bitcast int32 counts."""
-    from ..utils.profiling import prof
-
-    npts = np.asarray(tr.npts, np.int64)
+def _pack_records(npts, pts, vsz, scalars=None):
+    """Record stream [count_i, (xyz+scalars)*npts_i]... as one flat f32
+    buffer with bitcast int32 counts, voxel->mm conversion fused in.
+    Native single-pass interleave when the C helper built (scalar-free
+    case); otherwise vectorized numpy over a boolean count-slot mask."""
+    npts = np.asarray(npts, np.int64)
     n = len(npts)
     total = int(npts.sum())
-    vsz = np.ascontiguousarray(tr.voxel_size, np.float32)
+    ns = 0 if scalars is None else int(scalars.shape[1])
+    width = 3 + ns
+    out = np.empty(n + width * total, np.float32)
+    if n == 0:
+        return out
+    from .. import native
+    clib = native.lib()
+    if clib is not None and ns == 0:
+        npts32 = np.ascontiguousarray(npts, np.int32)
+        p = np.ascontiguousarray(pts, np.float32)
+        clib.pack_trk_records(
+            n, native.as_i32_ptr(npts32), native.as_f32_ptr(p),
+            native.as_f32_ptr(vsz), native.as_f32_ptr(out))
+        return out
+    rec_off = np.empty(n, np.int64)
+    if n > 1:
+        np.cumsum(1 + width * npts[:-1], out=rec_off[1:])
+    rec_off[0] = 0
+    is_count = np.zeros(n + width * total, bool)
+    is_count[rec_off] = True
+    out.view(np.int32)[is_count] = npts.astype(np.int32)
+    pts_mm = (np.asarray(pts, np.float32) + np.float32(0.5)) * vsz[None, :]
+    if ns:
+        pts_mm = np.concatenate(
+            [pts_mm, np.asarray(scalars, np.float32)], axis=1)
+    out[~is_count] = pts_mm.reshape(-1)
+    return out
 
-    # Record stream = [count_i, xyz...xyz] per line, with the voxel->mm
-    # conversion fused in.  Native single-pass interleave when the C
-    # helper built; otherwise two vectorized numpy passes over a boolean
-    # count-slot mask.
+
+def _trk_write_packed(tr: Tract, outfile: str) -> bool:
+    """Vectorized writer for packed tractograms (with or without packed
+    per-point scalars; no properties)."""
+    from ..utils.profiling import prof
+
+    vsz = np.ascontiguousarray(tr.voxel_size, np.float32)
     with prof("trk.build_buffer"):
-        out = np.empty(n + 3 * total, np.float32)
-        from .. import native
-        clib = native.lib()
-        if clib is not None:
-            npts32 = np.ascontiguousarray(npts, np.int32)
-            pts = np.ascontiguousarray(tr.packed_xyz, np.float32)
-            clib.pack_trk_records(
-                n, native.as_i32_ptr(npts32), native.as_f32_ptr(pts),
-                native.as_f32_ptr(vsz), native.as_f32_ptr(out))
-        elif n > 0:
-            rec_off = np.empty(n, np.int64)
-            if n > 1:
-                np.cumsum(1 + 3 * npts[:-1], out=rec_off[1:])
-            rec_off[0] = 0
-            is_count = np.zeros(n + 3 * total, bool)
-            is_count[rec_off] = True
-            out.view(np.int32)[is_count] = npts.astype(np.int32)
-            pts_mm = (tr.packed_xyz + np.float32(0.5)) * vsz[None, :]
-            out[~is_count] = pts_mm.reshape(-1)
+        out = _pack_records(tr.npts, tr.packed_xyz, vsz,
+                            tr.packed_scalars)
 
     header = _trk_header_bytes(tr)
     with prof("trk.file_write"):
@@ -508,38 +535,19 @@ class TrkSink:
         self._f.write(_trk_header_bytes(tr))
         self._written = 0
 
-    def append(self, pts: np.ndarray, npts: np.ndarray) -> None:
-        """Append lines (pts [total, 3] voxel coords, counts [nlines])."""
+    def append(self, pts: np.ndarray, npts: np.ndarray,
+               scalars: np.ndarray = None) -> None:
+        """Append lines (pts [total, 3] voxel coords, counts [nlines],
+        optional per-point scalars [total, ns])."""
         from ..utils.profiling import prof
 
         npts = np.asarray(npts, np.int64)
-        n = len(npts)
-        if n == 0:
+        if len(npts) == 0:
             return
-        total = int(npts.sum())
         with prof("trk.sink_append"):
-            out = np.empty(n + 3 * total, np.float32)
-            from .. import native
-            clib = native.lib()
-            if clib is not None:
-                npts32 = np.ascontiguousarray(npts, np.int32)
-                p = np.ascontiguousarray(pts, np.float32)
-                clib.pack_trk_records(
-                    n, native.as_i32_ptr(npts32), native.as_f32_ptr(p),
-                    native.as_f32_ptr(self._vsz), native.as_f32_ptr(out))
-            else:
-                rec_off = np.empty(n, np.int64)
-                if n > 1:
-                    np.cumsum(1 + 3 * npts[:-1], out=rec_off[1:])
-                rec_off[0] = 0
-                is_count = np.zeros(n + 3 * total, bool)
-                is_count[rec_off] = True
-                out.view(np.int32)[is_count] = npts.astype(np.int32)
-                pts_mm = (np.asarray(pts, np.float32) + np.float32(0.5)) \
-                    * self._vsz[None, :]
-                out[~is_count] = pts_mm.reshape(-1)
+            out = _pack_records(npts, pts, self._vsz, scalars)
             out.astype("<f4", copy=False).tofile(self._f)
-        self._written += n
+        self._written += len(npts)
 
     def close(self) -> None:
         self._f.close()
@@ -565,7 +573,8 @@ def trk_write(tr: Tract, outfile: str) -> bool:
     """Write a .trk file.  Returns True on error.
     (reference: src/trk.jl:433-495)"""
     if (tr.packed_xyz is not None and not tr.__dict__.get("xyz")
-            and tr.n_scalars == 0 and tr.n_properties == 0):
+            and (tr.n_scalars == 0 or tr.packed_scalars is not None)
+            and tr.n_properties == 0):
         return _trk_write_packed(tr, outfile)
 
     buf = _io.BytesIO()

@@ -147,12 +147,19 @@ def _dsi_kernel(signals, iq_flat, hann, wmat, verts_first, nbr, nbr_valid,
 
 def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             hann_width: int = 32, chunk: int = 4096,
-            mem_budget: float = 4e9) -> DSI:
+            mem_budget: float = 4e9, batch=None, mesh=None) -> DSI:
     """DSI reconstruction of DWIs.  (reference: src/dsi.jl:171-270)
 
     The per-chunk working set is dominated by the [chunk, nfft^3] q-space
     grid (f32) and its complex spectrum (c64); `chunk` auto-shrinks so
     that stays under `mem_budget` bytes of HBM.
+
+    `batch`: optional prepared `VoxelBatch` (core.batch.prepare_batch) —
+    chunks then slice device-resident rows instead of re-gathering and
+    re-uploading.  `mesh`: a jax.sharding.Mesh to run each chunk
+    data-parallel over the mesh's "data" axis (inferred automatically
+    from a mesh-sharded `batch`); the memory budget and chunk size then
+    scale by the data-axis size, since the q-space grid is sharded too.
     """
     if dwi.bval is None or len(dwi.bval) == 0:
         raise ValueError("Missing b-value table from input DWI structure")
@@ -173,14 +180,29 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     _, verts_first, faces0 = half_sphere(odf_dirs)
     nbr, nbr_ok = build_neighbors(faces0, nvert)
 
-    # nfft-aware chunk guard: grid f32 + spectrum c64 + fft scratch
-    # ~= 20 bytes per grid cell per voxel
-    max_chunk = max(8, int(mem_budget / (nfft ** 3 * 20)))
-    if chunk > max_chunk:
-        chunk = 1 << int(np.floor(np.log2(max_chunk)))
+    if mesh is None and batch is not None:
+        from jax.sharding import NamedSharding
+        shd = getattr(batch.signals, "sharding", None)
+        if (isinstance(shd, NamedSharding)
+                and "data" in shd.mesh.axis_names
+                and shd.mesh.devices.size > 1):
+            mesh = shd.mesh
+    ndata = int(mesh.shape["data"]) if mesh is not None else 1
 
-    idx = mask_indices(mask.vol)
-    signals = gather_frames(dwi.vol, idx).astype(np.float32)
+    # nfft-aware chunk guard: grid f32 + spectrum c64 + fft scratch
+    # ~= 20 bytes per grid cell per voxel (per device when sharded)
+    max_chunk = max(8, int(mem_budget * ndata / (nfft ** 3 * 20)))
+    if chunk * ndata > max_chunk:
+        chunk = 1 << int(np.floor(np.log2(max_chunk)))
+    else:
+        chunk = chunk * ndata
+
+    if batch is not None:
+        idx = batch.idx
+        signals = None
+    else:
+        idx = mask_indices(mask.vol)
+        signals = gather_frames(dwi.vol, idx).astype(np.float32)
     n = len(idx)
     nq = len(iq_flat)
 
@@ -193,13 +215,30 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     args = (jnp.asarray(iq_flat), jnp.asarray(hann), jnp.asarray(wmat),
             jnp.asarray(verts_first), jnp.asarray(nbr), jnp.asarray(nbr_ok))
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard_rows = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        args = tuple(jax.device_put(np.asarray(a), repl) for a in args)
+
+    def chunk_rows(lo, hi):
+        """[chunk, nvol] device rows for [lo, hi), zero-padded."""
+        if batch is not None:
+            rows = batch.signals[lo:hi]
+            if hi - lo < chunk:
+                rows = jnp.pad(rows, ((0, chunk - (hi - lo)), (0, 0)))
+        else:
+            rows = jnp.asarray(pad_rows(signals[lo:hi], chunk))
+        if mesh is not None:
+            rows = jax.device_put(rows, shard_rows)
+        return rows
+
     from ..ops.transfer import to_host
     with prof("dsi.chunks"):
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
-            batch = pad_rows(signals[lo:hi], chunk)
             pdf_c, odf_c, vecs, qa, odfmean, valid = _dsi_kernel(
-                jnp.asarray(batch), *args, nfft=nfft)
+                chunk_rows(lo, hi), *args, nfft=nfft)
             # Everything stays on device until all chunks are dispatched:
             # a host sync here would serialize dispatch against the wire.
             pdf_parts.append(pdf_c)

@@ -14,7 +14,8 @@ import numpy as np
 
 from ..models.dti import _design_dti, _masked_wls, dti_maps
 from ..models.gqi import gqi_design
-from ..models.rumba import _build_kernel, besseli_ratio
+from ..models.rumba import (_build_kernel, _gather_index, _tv_term,
+                            besseli_ratio)
 from ..ops.eig3 import eigh3
 from ..ops.peaks import build_neighbors, peak_mask, top_peaks
 
@@ -36,12 +37,19 @@ def build_constants(bval, bvec, odf_dirs):
                 nbr=nbr, nbr_ok=nbr_ok)
 
 
-def full_recon_step(signals, rumba_signal, fodf, sig2, seeds, seed_vecs,
-                    mask_flat, ovecs_flat, A_dti, ib0, A_gqi, kernel,
-                    verts_first, nbr, nbr_ok, shape3):
+def full_recon_step(signals, rumba_signal, fodf, sig2, lam_flat, tv_idx,
+                    seeds, seed_vecs, mask_flat, ovecs_flat, A_dti, ib0,
+                    A_gqi, kernel, verts_first, nbr, nbr_ok, shape3,
+                    tv_shape3):
     """One step of every compute path.  All leading axes are batch axes
     and shard across the mesh's data axis; the nvert/ncomp axes of the
     GEMM operands shard across the model axis.
+
+    `lam_flat`/`tv_idx`/`tv_shape3` drive the RUMBA TV regularizer: the
+    per-component difference stencils over the (bbox-cropped) TV grid —
+    the one term whose gathers cross the batch sharding, included here so
+    the multi-chip dry run proves it compiles and executes under GSPMD
+    (reference: src/rusd.jl:183-235, 282-296).
 
     Returns (fa, odf, peaks, fodf', sig2', positions') — enough outputs
     to keep every path live under jit.
@@ -64,18 +72,23 @@ def full_recon_step(signals, rumba_signal, fodf, sig2, seeds, seed_vecs,
     qa = jnp.where(pvalid, vals - odf.min(axis=1, keepdims=True), 0.0) \
         / jnp.maximum(odfmax, 1e-30)
 
-    # --- one RUMBA-SD Richardson-Lucy update (no TV in the fused step) ---
+    # --- one RUMBA-SD Richardson-Lucy + TV update ---
     dodf = jnp.dot(fodf, kernel.T, precision=hp)
     dodf_sig = (rumba_signal * dodf) / sig2
     iratio = besseli_ratio(1, dodf_sig)
     rl = (jnp.dot(rumba_signal * iratio, kernel, precision=hp)
           / (jnp.dot(dodf, kernel, precision=hp) + 1e-7))
-    fodf_new = jnp.maximum(fodf * rl, 0.0)
+    tv_nxyz = int(np.prod(tv_shape3))
+    gidx = _gather_index(tv_idx, fodf.shape[0], tv_nxyz)
+    tv = _tv_term(fodf, gidx, tv_idx, lam_flat, tv_shape3, tv_nxyz)
+    fodf_new = jnp.maximum(fodf * rl * tv, 0.0)
     resid = ((rumba_signal ** 2 + dodf ** 2) / 2
              - (sig2 * dodf_sig) * iratio)
     sig2_new = jnp.clip(
         resid.sum(axis=1, keepdims=True) / rumba_signal.shape[1],
         (1.0 / 80) ** 2, (1.0 / 8) ** 2)
+    lam_new = jnp.full_like(
+        lam_flat, jnp.maximum(sig2_new.mean(), (1.0 / 30) ** 2))
 
     # --- a block of streamline-integration steps ---
     from ..tract.stream import _propagate
@@ -88,4 +101,4 @@ def full_recon_step(signals, rumba_signal, fodf, sig2, seeds, seed_vecs,
         ovecs_masked, 8, shape3, 0.5,
         float(np.cos(np.radians(45.0))), 0.2, 64)
 
-    return fa, odf, peaks, qa, fodf_new, sig2_new, pts, npts
+    return fa, odf, peaks, qa, fodf_new, sig2_new, lam_new, pts, npts

@@ -66,6 +66,10 @@ class StreamConfig:
     # overlaps device transfers; the returned Tract carries header +
     # counts but not the point data, which lives in the file)
     trk_sink: Optional[str] = None
+    # jax.sharding.Mesh: propagate seed chunks data-parallel across the
+    # mesh's "data" axis (the orientation field is replicated; each
+    # device integrates its own seeds)
+    mesh: Optional[object] = None
 
 
 # ------------------------------------------------------------------ #
@@ -301,7 +305,7 @@ def _compact(fwd_out, bwd_out, fwd_n, bwd_n, keep, line_off, cap,
 
 
 def _compact_chunk(fwd_out, bwd_out, fwd_n, bwd_n, fwd_n_dev, bwd_n_dev,
-                   len_min, mode):
+                   len_min, mode, mesh=None):
     """Device compaction of one propagated chunk given host-side counts.
 
     Returns (flat wire buffer on device, total, npts [nkept], keep) or
@@ -318,11 +322,18 @@ def _compact_chunk(fwd_out, bwd_out, fwd_n, bwd_n, fwd_n_dev, bwd_n_dev,
     off_all = np.zeros(len(tot), np.int64)
     off_all[keep] = np.concatenate([[0], np.cumsum(npts)[:-1]])
 
+    keep_j = jnp.asarray(keep)
+    off_j = jnp.asarray(off_all, jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard_s = NamedSharding(mesh, P("data"))
+        keep_j = jax.device_put(keep_j, shard_s)
+        off_j = jax.device_put(off_j, shard_s)
+
     cap = max(1 << 16, 1 << int(np.ceil(np.log2(max(total, 1)))))
     with prof("stream.compact_dispatch"):
         out = _compact(fwd_out, bwd_out, fwd_n_dev, bwd_n_dev,
-                       jnp.asarray(keep), jnp.asarray(off_all, jnp.int32),
-                       cap, mode)
+                       keep_j, off_j, cap, mode)
     return out, total, npts.astype(np.int32), keep
 
 
@@ -707,6 +718,15 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
 
     ovecs_flat = jnp.asarray(ovec_arr.reshape(-1, len(ovecs), 3))
 
+    mesh = cfg.mesh
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ndata = int(mesh.shape["data"])
+        shard_seeds = NamedSharding(mesh, P("data"))
+        # the orientation field is replicated: every device integrates
+        # its own seed rows with purely local gathers
+        ovecs_flat = jax.device_put(ovecs_flat, NamedSharding(mesh, P()))
+
     nsteps = int(len_max) + 2
     cosang_thresh = float(np.cos(np.radians(ang_thresh)))
 
@@ -719,14 +739,22 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
     def launch(lo):
         hi = min(lo + cfg.chunk, len(seeds_all))
         seeds_c, subs_c = seeds_all[lo:hi], subs_all[lo:hi]
+        padn = 0
         if hi - lo < cfg.chunk and len(seeds_all) > cfg.chunk:
             # pad the last chunk with out-of-bounds seeds (immediately
             # inactive, filtered by len_min) to keep one compiled shape
             padn = cfg.chunk - (hi - lo)
+        elif mesh is not None and (hi - lo) % ndata:
+            # sharded chunks must split evenly across the data axis
+            padn = ndata - (hi - lo) % ndata
+        if padn:
             seeds_c = np.concatenate(
                 [seeds_c, np.full((padn, 3), -10.0, np.float32)])
             subs_c = np.concatenate(
                 [subs_c, np.zeros((padn, 3), np.float32)])
+        if mesh is not None:
+            seeds_c = jax.device_put(seeds_c, shard_seeds)
+            subs_c = jax.device_put(subs_c, shard_seeds)
         with prof("stream.propagate_dispatch"):
             return propagate_chunk(
                 seeds_c, subs_c, ovecs_flat,
@@ -786,7 +814,7 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
         for i, ((fp, fn_d, bp, bn_d, _), (fn, bn, anch)) in enumerate(
                 zip(results, counts)):
             buf, total, npts_c, keep = _compact_chunk(
-                fp, bp, fn, bn, fn_d, bn_d, cfg.len_min, mode)
+                fp, bp, fn, bn, fn_d, bn_d, cfg.len_min, mode, mesh=mesh)
             bufs.append((buf, total, npts_c, anch[keep]))
             results[i] = None     # release the raw point buffers
 

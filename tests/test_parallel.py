@@ -141,3 +141,81 @@ class TestShardedRumba:
             np.testing.assert_allclose(p_s.vol, p_l.vol,
                                        rtol=1e-3, atol=1e-5)
         assert abs(sharded.snr_mean - local.snr_mean) < 1e-2
+
+
+class TestShardedDSI:
+    def test_dsi_sharded_equals_local(self):
+        """dsi_rec over a mesh-sharded VoxelBatch (q-space grid, FFT, and
+        radial GEMM all row-parallel) matches the single-device recon."""
+        _require_devices(8)
+        import fibers_tpu as ft
+        from fibers_tpu.parallel.mesh import make_mesh
+        from phantom import make_phantom
+
+        dwi, mask, _, _ = make_phantom(shape=(5, 4, 3), ndir=40,
+                                       bmax=4000.0, two_shell=True)
+        local = ft.dsi_rec(dwi, mask, ft.sphere_362, hann_width=8)
+
+        mesh = make_mesh(8)
+        batch = ft.prepare_batch(dwi, mask, mesh=mesh)
+        sharded = ft.dsi_rec(dwi, mask, ft.sphere_362, hann_width=8,
+                             batch=batch)
+
+        np.testing.assert_allclose(np.asarray(sharded.odf.vol),
+                                   np.asarray(local.odf.vol),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sharded.pdf.vol),
+                                   np.asarray(local.pdf.vol),
+                                   rtol=1e-4, atol=1e-6)
+        for p_s, p_l in zip(sharded.peak, local.peak):
+            np.testing.assert_allclose(p_s.vol, p_l.vol,
+                                       rtol=1e-3, atol=1e-5)
+        for q_s, q_l in zip(sharded.qa, local.qa):
+            np.testing.assert_allclose(q_s.vol, q_l.vol,
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_dsi_batch_reuse_single_device(self):
+        import fibers_tpu as ft
+        from phantom import make_phantom
+        dwi, mask, _, _ = make_phantom(shape=(4, 3, 3), ndir=40,
+                                       bmax=4000.0, two_shell=True)
+        base = ft.dsi_rec(dwi, mask, ft.sphere_362, hann_width=8)
+        batch = ft.prepare_batch(dwi, mask)
+        reused = ft.dsi_rec(dwi, mask, ft.sphere_362, hann_width=8,
+                            batch=batch)
+        np.testing.assert_allclose(np.asarray(reused.odf.vol),
+                                   np.asarray(base.odf.vol),
+                                   rtol=1e-5, atol=1e-7)
+
+
+class TestShardedStream:
+    def test_stream_sharded_equals_local(self):
+        """Deterministic tractography with mesh= shards the seed axis;
+        propagation gathers stay device-local and the output Tract is
+        identical to the single-device run."""
+        _require_devices(8)
+        import fibers_tpu as ft
+
+        from fibers_tpu.parallel.mesh import make_mesh
+
+        shape = (16, 12, 10)
+        x, y, z = np.meshgrid(*[np.linspace(0, 1, s) for s in shape],
+                              indexing="ij")
+        th = 0.8 * x + 0.4 * y
+        v = np.stack([np.cos(th), np.sin(th), np.zeros_like(th)], axis=-1)
+        ov = ft.MRI(vol=v.astype(np.float32))
+        ov.vox2ras0 = np.eye(4, dtype=np.float32)
+        ov.volsize = np.asarray(shape)
+        ov.width, ov.height, ov.depth = shape
+        ov.nframes = 3
+        ov.set_geometry()
+
+        local = ft.stream(ov, nsub=2, seed_rng=7)
+        mesh = make_mesh(8)
+        sharded = ft.stream(ov, nsub=2, seed_rng=7, mesh=mesh)
+
+        ln, sn = np.asarray(local.npts), np.asarray(sharded.npts)
+        np.testing.assert_array_equal(ln, sn)
+        for i in range(0, len(ln), max(1, len(ln) // 20)):
+            np.testing.assert_allclose(sharded.xyz[i], local.xyz[i],
+                                       atol=1e-6)
