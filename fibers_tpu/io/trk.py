@@ -589,7 +589,8 @@ def trk_write(tr: Tract, outfile: str) -> bool:
         scal = np.asarray(tr.scalars[istr], np.float32)
         rec = np.vstack([pts, scal]) if scal.size else pts
         buf.write(rec.astype("<f4").tobytes(order="F"))
-        buf.write(np.asarray(tr.properties[:, istr], "<f4").tobytes())
+        if tr.properties.size:
+            buf.write(np.asarray(tr.properties[:, istr], "<f4").tobytes())
 
     payload = buf.getvalue()
     npts_total = sum(int(np.asarray(m).shape[1]) * 3 for m in tr.xyz)

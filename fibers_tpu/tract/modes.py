@@ -36,43 +36,28 @@ def _seed_state(seeds, subs, ovecs_flat, shape3):
     return pos0, v0
 
 
-def _assemble_scalars(fwd_flag, fwd_n, bwd_flag, bwd_n, keep_mask, npts,
-                      fwd_nk, bwd_nk):
-    """Ragged assembly of the per-point method-difference flags, matching
-    the point ordering of the coordinate assembly."""
-    fwd_flag = np.asarray(fwd_flag).T[keep_mask]     # [S, T]
-    bwd_flag = np.asarray(bwd_flag).T[keep_mask]
-    offsets = np.concatenate([[0], np.cumsum(npts)])
-    total = int(offsets[-1])
-    out = np.zeros(total, np.float32)
-    sid = np.repeat(np.arange(len(npts)), npts)
-    rank = np.arange(total) - np.repeat(offsets[:-1], npts)
-    in_fwd = rank < fwd_nk[sid]
-    src_step = np.where(in_fwd, fwd_nk[sid] - 1 - rank, rank - fwd_nk[sid])
-    out[in_fwd] = fwd_flag[sid[in_fwd], src_step[in_fwd]]
-    out[~in_fwd] = bwd_flag[sid[~in_fwd], src_step[~in_fwd]]
-    return out
-
-
 # ------------------------------------------------------------------ #
 # LCM probabilistic mode
 # ------------------------------------------------------------------ #
 
-@partial(jax.jit, static_argnames=("nsteps", "shape3"))
+@partial(jax.jit, static_argnames=("nsteps", "shape3", "emit", "qscale"))
 def _propagate_lcm(key, pos0, vec0, npts0, mask_flat, ovecs_flat, lcms_flat,
-                   dxyz, nsteps, shape3, step_size, smooth_coeff, len_max):
+                   dxyz, nsteps, shape3, step_size, smooth_coeff, len_max,
+                   emit="points", qscale=254.0):
     """One direction of LCM-guided propagation.
 
     Carries the previously chosen vector index (the reference continues
     along it while not entering a new voxel, src/stream.jl:399-411).
-    Emits (points, saved, isdiff) per step.
+    Emits (out, saved, isdiff-flags, npts, anchor) per the same wire
+    contract as stream._propagate: out is float32 positions or int8
+    error-feedback step deltas depending on `emit`.
     """
     from .stream import _flat_index, _pick_by_angle
 
     edget = jnp.asarray(EDGETYPE)
 
     def step(carry, k):
-        pos, vec, ivec_prev, npts, active = carry
+        pos, vec, ivec_prev, pos_q, npts, active = carry
 
         pos_next = pos + vec * step_size
         ipos_next = jnp.round(pos_next).astype(jnp.int32)
@@ -159,6 +144,16 @@ def _propagate_lcm(key, pos0, vec0, npts0, mask_flat, ovecs_flat, lcms_flat,
         save = ok
         npts = npts + save.astype(jnp.int32)
 
+        if emit == "deltas":
+            d = jnp.clip(jnp.round((pos - pos_q) * qscale), -127.0, 127.0)
+            d = jnp.where(save[:, None], d, 0.0)
+            pos_q = pos_q + d * (1.0 / qscale)
+            out = d.astype(jnp.int8)
+        else:
+            out = pos
+
+        flag = (isdiff & save).astype(jnp.int8)
+
         # No angle threshold in LCM mode (reference: src/stream.jl:668-671)
         cont = save & (npts <= len_max)
 
@@ -170,14 +165,15 @@ def _propagate_lcm(key, pos0, vec0, npts0, mask_flat, ovecs_flat, lcms_flat,
         pos_out = jnp.where(cont[:, None], pos_next, pos)
         vec_out = jnp.where(cont[:, None], vsm, vec)
 
-        return (pos_out, vec_out, ivec_next, npts, cont), (pos, save, isdiff)
+        return (pos_out, vec_out, ivec_next, pos_q, npts, cont), \
+            (out, save, flag)
 
     keys = jax.random.split(key, nsteps)
     active0 = jnp.ones(pos0.shape[0], bool)
     ivec0 = jnp.zeros(pos0.shape[0], jnp.int32)
-    (_, _, _, npts, _), (points, saved, isdiff) = jax.lax.scan(
-        step, (pos0, vec0, ivec0, npts0, active0), keys)
-    return points, saved, isdiff, npts
+    (_, _, _, pos_q, npts, _), (outs, saved, flags) = jax.lax.scan(
+        step, (pos0, vec0, ivec0, pos0, npts0, active0), keys)
+    return outs, saved, flags, npts, pos_q
 
 
 def stream_lcm(ovecs, fs, mask_array, seed, lcms, cfg, nsub, ang_thresh,
@@ -232,54 +228,45 @@ def stream_lcm(ovecs, fs, mask_array, seed, lcms, cfg, nsub, ang_thresh,
     lcms_flat = jnp.asarray(lcm_vol.reshape(-1, lcm_vol.shape[3]))
     dxyz_j = jnp.asarray(dxyz)
 
-    nsteps = int(len_max) + 2
-    flat_parts, npts_parts, scal_parts = [], [], []
-    from .stream import _assemble
+    from .stream import _drive_wire, _pack_meta, _wire_mode
 
-    for lo in range(0, len(seeds_all), cfg.chunk):
+    nsteps = int(len_max) + 2
+    mode, qscale = _wire_mode(cfg, step_size)
+    emit = "points" if mode == "f32" else "deltas"
+
+    starts = list(range(0, len(seeds_all), cfg.chunk))
+    # per-chunk PRNG keys, fixed up front so the draw sequence does not
+    # depend on dispatch order
+    ckeys = jax.random.split(key, 2 * max(len(starts), 1))
+
+    def launch(lo):
         hi = min(lo + cfg.chunk, len(seeds_all))
         pos0, v0 = _seed_state(seeds_all[lo:hi], subs_all[lo:hi],
                                ovecs_flat, shape3)
-        key, kf, kb = jax.random.split(key, 3)
+        i = lo // cfg.chunk
+        kf, kb = ckeys[2 * i], ckeys[2 * i + 1]
         zero = jnp.zeros(pos0.shape[0], jnp.int32)
-        fpts, fsav, fdiff, nf = _propagate_lcm(
+        fpts, fsav, fflag, nf, fq = _propagate_lcm(
             kf, pos0, v0, zero, mask_flat, ovecs_flat, lcms_flat, dxyz_j,
             nsteps, shape3, float(step_size), float(smooth_coeff),
-            int(len_max))
-        bpts, bsav, bdiff, _ = _propagate_lcm(
+            int(len_max), emit, qscale)
+        bpts, bsav, bflag, _, _bq = _propagate_lcm(
             kb, pos0, -v0, nf, mask_flat, ovecs_flat, lcms_flat, dxyz_j,
             nsteps, shape3, float(step_size), float(smooth_coeff),
-            int(len_max))
+            int(len_max), emit, qscale)
+        fwd_n = fsav.sum(axis=0).astype(jnp.int32)
+        bwd_n = bsav.sum(axis=0).astype(jnp.int32)
+        meta = _pack_meta(fwd_n, bwd_n, fq)
+        return fpts, fwd_n, bpts, bwd_n, meta, fflag, bflag
 
-        fwd_n = np.asarray(fsav.sum(axis=0), np.int64)
-        bwd_n = np.asarray(bsav.sum(axis=0), np.int64)
-        tot = fwd_n + bwd_n
-        keep = tot >= cfg.len_min
-        flat, npts = _assemble(fpts, fwd_n, bpts, bwd_n, cfg.len_min)
-        scal = _assemble_scalars(
-            np.asarray(fdiff) * np.asarray(fsav),
-            fwd_n, np.asarray(bdiff) * np.asarray(bsav), bwd_n,
-            keep, npts, fwd_n[keep], bwd_n[keep])
-        flat_parts.append(flat)
-        npts_parts.append(npts)
-        scal_parts.append(scal)
+    if len(seeds_all) == 0:
+        tr = Tract.from_ref(ovecs[0])
+        tr.set_packed(np.zeros((0, 3), np.float32), np.zeros(0, np.int32),
+                      scalars=np.zeros(0, np.float32))
+        return tr
 
-    flat_pts = np.concatenate(flat_parts) if flat_parts else \
-        np.zeros((0, 3), np.float32)
-    npts = np.concatenate(npts_parts) if npts_parts else \
-        np.zeros(0, np.int32)
-    scal = np.concatenate(scal_parts) if scal_parts else \
-        np.zeros(0, np.float32)
-
-    from ..io.trk import str_add
-    ref = ovecs[0]
-    tr = Tract.from_ref(ref)
-    offsets = np.concatenate([[0], np.cumsum(npts)])
-    xyz = [flat_pts[offsets[i]:offsets[i + 1]].T for i in range(len(npts))]
-    scalars = [scal[offsets[i]:offsets[i + 1]] for i in range(len(npts))]
-    if len(xyz):
-        str_add(tr, xyz, scalars)
-    return tr
+    return _drive_wire(launch, starts, cfg, mode, qscale,
+                       Tract.from_ref(ovecs[0]), has_scalars=True)
 
 
 # ------------------------------------------------------------------ #
@@ -306,14 +293,15 @@ def _search_window(search_dist):
     return off[keep].astype(np.int32), dirs[keep].astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("nsteps", "shape3"))
+@partial(jax.jit, static_argnames=("nsteps", "shape3", "emit", "qscale"))
 def _propagate_micro(pos0, vec0, npts0, mask_flat, ovecs_flat, win_off,
                      win_dir, nsteps, shape3, step_size, cosang_thresh,
-                     search_cosang, smooth_coeff, len_max):
+                     search_cosang, smooth_coeff, len_max,
+                     emit="points", qscale=1.0):
     from .stream import _flat_index
 
     def step(carry, _):
-        pos, vec, npts, active = carry
+        pos, vec, pos_q, npts, active = carry
 
         pos_next = pos + vec * step_size
         ipos = jnp.round(pos_next).astype(jnp.int32)
@@ -348,6 +336,17 @@ def _propagate_micro(pos0, vec0, npts0, mask_flat, ovecs_flat, win_off,
         save = ok
         npts = npts + save.astype(jnp.int32)
 
+        if emit == "deltas":
+            # micro jumps land on integer voxels: with qscale=1 and
+            # integer seeds the deltas are exact (stream_micro enforces
+            # this before choosing the i8 wire)
+            d = jnp.clip(jnp.round((pos - pos_q) * qscale), -127.0, 127.0)
+            d = jnp.where(save[:, None], d, 0.0)
+            pos_q = pos_q + d * (1.0 / qscale)
+            out = d.astype(jnp.int8)
+        else:
+            out = pos
+
         cosadv = (vec * vnext).sum(axis=1)
         cont = save & (cosadv >= cosang_thresh) & (npts <= len_max)
 
@@ -359,12 +358,12 @@ def _propagate_micro(pos0, vec0, npts0, mask_flat, ovecs_flat, win_off,
         pos_out = jnp.where(cont[:, None], next_vox.astype(jnp.float32), pos)
         vec_out = jnp.where(cont[:, None], vsm, vec)
 
-        return (pos_out, vec_out, npts, cont), (pos, save)
+        return (pos_out, vec_out, pos_q, npts, cont), (out, save)
 
     active0 = jnp.ones(pos0.shape[0], bool)
-    (_, _, npts, _), (points, saved) = jax.lax.scan(
-        step, (pos0, vec0, npts0, active0), None, length=nsteps)
-    return points, saved, npts
+    (_, _, pos_q, npts, _), (outs, saved) = jax.lax.scan(
+        step, (pos0, vec0, pos0, npts0, active0), None, length=nsteps)
+    return outs, saved, npts, pos_q
 
 
 def stream_micro(ovecs, fs, mask_array, seed, cfg, nsub, ang_thresh,
@@ -406,38 +405,48 @@ def stream_micro(ovecs, fs, mask_array, seed, cfg, nsub, ang_thresh,
     win_off_j = jnp.asarray(win_off)
     win_dir_j = jnp.asarray(win_dir)
 
+    from .stream import _drive_wire, _pack_meta, _wire_mode
+
     nsteps = int(len_max) + 2
     cosang_thresh = float(np.cos(np.radians(ang_thresh)))
     search_cosang = float(np.cos(np.radians(cfg.search_ang)))
 
+    mode, qscale = _wire_mode(cfg, step_size)
+    if mode == "i8":
+        if nsub == 0 and int(cfg.search_dist) < 127:
+            # cone-search jumps land on integer voxels and the seeds are
+            # integers: unit-quantum deltas are EXACT
+            qscale = 1.0
+        else:
+            mode = "f32"   # fractional seeds would quantize at 1 voxel
+    emit = "points" if mode == "f32" else "deltas"
+
     # the windowed gather is W times heavier; shrink the chunk
     chunk = max(256, cfg.chunk // max(1, len(win_off) // 32))
 
-    flat_parts, npts_parts = [], []
-    for lo in range(0, len(seeds_all), chunk):
+    def launch(lo):
         hi = min(lo + chunk, len(seeds_all))
         pos0, v0 = _seed_state(seeds_all[lo:hi], subs_all[lo:hi],
                                ovecs_flat, shape3)
         zero = jnp.zeros(pos0.shape[0], jnp.int32)
-        fpts, fsav, nf = _propagate_micro(
+        fpts, fsav, nf, fq = _propagate_micro(
             pos0, v0, zero, mask_flat, ovecs_flat, win_off_j, win_dir_j,
             nsteps, shape3, float(step_size), cosang_thresh, search_cosang,
-            float(smooth_coeff), int(len_max))
-        bpts, bsav, _ = _propagate_micro(
+            float(smooth_coeff), int(len_max), emit, qscale)
+        bpts, bsav, _, _bq = _propagate_micro(
             pos0, -v0, nf, mask_flat, ovecs_flat, win_off_j, win_dir_j,
             nsteps, shape3, float(step_size), cosang_thresh, search_cosang,
-            float(smooth_coeff), int(len_max))
-        flat, npts = _assemble(fpts, np.asarray(fsav.sum(axis=0)),
-                               bpts, np.asarray(bsav.sum(axis=0)),
-                               cfg.len_min)
-        flat_parts.append(flat)
-        npts_parts.append(npts)
+            float(smooth_coeff), int(len_max), emit, qscale)
+        fwd_n = fsav.sum(axis=0).astype(jnp.int32)
+        bwd_n = bsav.sum(axis=0).astype(jnp.int32)
+        meta = _pack_meta(fwd_n, bwd_n, fq)
+        return fpts, fwd_n, bpts, bwd_n, meta
 
-    flat_pts = np.concatenate(flat_parts) if flat_parts else \
-        np.zeros((0, 3), np.float32)
-    npts = np.concatenate(npts_parts) if npts_parts else \
-        np.zeros(0, np.int32)
+    if len(seeds_all) == 0:
+        tr = Tract.from_ref(ovecs[0])
+        tr.set_packed(np.zeros((0, 3), np.float32), np.zeros(0, np.int32))
+        return tr
 
-    tr = Tract.from_ref(ovecs[0])
-    tr.set_packed(flat_pts, npts)
-    return tr
+    starts = list(range(0, len(seeds_all), chunk))
+    return _drive_wire(launch, starts, cfg, mode, qscale,
+                       Tract.from_ref(ovecs[0]))

@@ -304,16 +304,38 @@ def _compact(fwd_out, bwd_out, fwd_n, bwd_n, keep, line_off, cap,
     return packed
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_scalars(fwd_out, bwd_out, fwd_n, bwd_n, keep, line_off, cap):
+    """Line-order compaction of per-point int8 scalar flags (reversed-
+    forward prefix then backward prefix, like the coordinates), packed
+    4-per-uint32 word for the integer wire."""
+    nsteps, s = fwd_out.shape
+    t_idx = jnp.arange(nsteps, dtype=jnp.int32)[:, None]
+    oob = jnp.int32(cap)
+    dst_f = jnp.where((t_idx < fwd_n[None, :]) & keep[None, :],
+                      line_off[None, :] + fwd_n[None, :] - 1 - t_idx, oob)
+    dst_b = jnp.where((t_idx < bwd_n[None, :]) & keep[None, :],
+                      line_off[None, :] + fwd_n[None, :] + t_idx, oob)
+    out = jnp.zeros((cap,), jnp.int8)
+    out = out.at[dst_f.reshape(-1)].set(
+        fwd_out.reshape(-1), mode="drop", unique_indices=True)
+    out = out.at[dst_b.reshape(-1)].set(
+        bwd_out.reshape(-1), mode="drop", unique_indices=True)
+    b = out.astype(jnp.uint32) & 0xFF
+    return (b[0::4] | (b[1::4] << 8) | (b[2::4] << 16) | (b[3::4] << 24))
+
+
 def _compact_chunk(fwd_out, bwd_out, fwd_n, bwd_n, fwd_n_dev, bwd_n_dev,
-                   len_min, mode, mesh=None):
+                   len_min, mode, mesh=None, fwd_scal=None, bwd_scal=None):
     """Device compaction of one propagated chunk given host-side counts.
 
-    Returns (flat wire buffer on device, total, npts [nkept], keep) or
-    (None, 0, empty, keep) when nothing survives the length filter."""
+    Returns (flat wire buffer on device, scalar wire buffer or None,
+    total, npts [nkept], keep) — buffer None when nothing survives the
+    length filter."""
     tot = fwd_n + bwd_n
     keep = tot >= len_min
     if not keep.any():
-        return None, 0, np.zeros(0, np.int32), keep
+        return None, None, 0, np.zeros(0, np.int32), keep
 
     npts = tot[keep]
     total = int(npts.sum())
@@ -334,7 +356,11 @@ def _compact_chunk(fwd_out, bwd_out, fwd_n, bwd_n, fwd_n_dev, bwd_n_dev,
     with prof("stream.compact_dispatch"):
         out = _compact(fwd_out, bwd_out, fwd_n_dev, bwd_n_dev,
                        keep_j, off_j, cap, mode)
-    return out, total, npts.astype(np.int32), keep
+        sout = None
+        if fwd_scal is not None:
+            sout = _compact_scalars(fwd_scal, bwd_scal, fwd_n_dev,
+                                    bwd_n_dev, keep_j, off_j, cap)
+    return out, sout, total, npts.astype(np.int32), keep
 
 
 def _fetch_wire(buf, total, mode):
@@ -383,6 +409,133 @@ def _decode_points(raw, total, mode, npts=None, anchors=None, out=None,
         return out
     out[:] = raw[:total * 3].reshape(total, 3)
     return out
+
+
+def _wire_mode(cfg, step_size):
+    """Resolve the point wire encoding: exact float32 positions on CPU
+    (or on user opt-out); int8 error-feedback deltas on accelerators,
+    where the device->host link is the bottleneck.  cfg.wire forces one
+    codec explicitly.  Returns (mode, qscale)."""
+    if cfg.wire not in ("auto", "f32", "i8"):
+        raise ValueError(f"Unknown wire mode {cfg.wire!r} "
+                         "(expected auto/f32/i8)")
+    if cfg.wire == "auto":
+        mode = "f32" if (cfg.exact_points
+                         or jax.default_backend() == "cpu") else "i8"
+    else:
+        mode = "f32" if cfg.exact_points else cfg.wire
+    # full int8 range per step regardless of the configured step size
+    return mode, 127.0 / max(float(step_size), 1e-6)
+
+
+def _decode_scalars(raw, total):
+    """Decode a fetched packed-int8 scalar wire buffer to [total] f32."""
+    return raw.view(np.int8)[:total].astype(np.float32)
+
+
+def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
+                has_scalars=False):
+    """Shared chunk driver for every tractography mode, shaped around the
+    tunnel-slow device link: (1) dispatch propagations in waves (the
+    device queue drains at compute speed), (2) fetch the small packed
+    per-chunk counts+anchors, (3) dispatch compactions (freeing the big
+    point buffers), (4) fetch the compacted wire buffers with the link to
+    themselves, decoding chunk i while chunk i+1 is on the wire, with
+    TrkSink file output riding under the fetches.
+
+    launch(lo) -> (fwd_out, fwd_n_dev, bwd_out, bwd_n_dev, meta) or,
+    with has_scalars, (..., fwd_scal, bwd_scal) where the scalar buffers
+    are [T, S] int8 per-point flags compacted in line order alongside
+    the coordinates.  Returns the finished Tract."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..ops.transfer import to_host
+
+    # All chunks' raw propagation buffers live until their compaction;
+    # int8 chunks are small so everything phases at once, but exact-f32
+    # chunks are ~0.9 GB each at the default chunk — bound those to
+    # waves of 2.
+    wave = len(starts) if mode == "i8" else 2
+
+    bufs = []
+    for w0 in range(0, len(starts), wave):
+        results = [launch(lo) for lo in starts[w0:w0 + wave]]
+
+        # One small fetch per wave for counts + anchors (per-call
+        # round-trip latency on tunneled links dwarfs these few MB)
+        with prof("stream.counts_fetch"):
+            meta_all = to_host(
+                jnp.concatenate([r[4] for r in results])
+                if len(results) > 1 else results[0][4])
+        counts = []
+        off = 0
+        for r in results:
+            s = r[1].shape[0]
+            counts.append(_unpack_meta(meta_all[off:off + 5 * s], s))
+            off += 5 * s
+
+        for i, (r, (fn, bn, anch)) in enumerate(zip(results, counts)):
+            fs, bs = (r[5], r[6]) if has_scalars else (None, None)
+            buf, sbuf, total, npts_c, keep = _compact_chunk(
+                r[0], r[2], fn, bn, r[1], r[3], cfg.len_min, mode,
+                mesh=mesh, fwd_scal=fs, bwd_scal=bs)
+            bufs.append((buf, sbuf, total, npts_c, anch[keep]))
+            results[i] = None     # release the raw point buffers
+
+    live = [b for b in bufs if b[0] is not None]
+    npts_parts = [n for _, _, _, n, _ in live]
+    npts = np.concatenate(npts_parts) if npts_parts else \
+        np.zeros(0, np.int32)
+
+    if has_scalars:
+        tr.n_scalars = 1
+
+    def fetch_pair(buf, sbuf, total):
+        raw = _fetch_wire(buf, total, mode)
+        sraw = None
+        if sbuf is not None:
+            with prof("stream.scalars_fetch"):
+                sraw = to_host(sbuf, n_lead=(total + 3) // 4)
+        return raw, sraw
+
+    if cfg.trk_sink is not None:
+        # Write each chunk's lines to the .trk as it is fetched+decoded;
+        # the file write rides under the next chunk's wire time.
+        from ..io.trk import TrkSink
+
+        with TrkSink(cfg.trk_sink, tr, len(npts)) as sink, \
+                ThreadPoolExecutor(1) as pool:
+            futs = [pool.submit(fetch_pair, buf, sbuf, total)
+                    for buf, sbuf, total, npts_c, anch_k in live]
+            for fut, (_, sbuf, total, npts_c, anch_k) in zip(futs, live):
+                raw, sraw = fut.result()
+                pts = _decode_points(raw, total, mode, npts=npts_c,
+                                     anchors=anch_k, qscale=qscale)
+                scal = None if sraw is None else \
+                    _decode_scalars(sraw, total)[:, None]
+                sink.append(pts, npts_c, scal)
+        tr.npts = npts
+        tr.n_count = int(len(npts))
+        return tr
+
+    total_all = sum(t for _, _, t, _, _ in live)
+    flat_pts = np.empty((total_all, 3), np.float32)
+    flat_scal = np.empty(total_all, np.float32) if has_scalars else None
+    with ThreadPoolExecutor(1) as pool:
+        futs = [pool.submit(fetch_pair, buf, sbuf, total)
+                for buf, sbuf, total, npts_c, anch_k in live]
+        pos = 0
+        for fut, (_, sbuf, total, npts_c, anch_k) in zip(futs, live):
+            raw, sraw = fut.result()
+            _decode_points(raw, total, mode, npts=npts_c, anchors=anch_k,
+                           out=flat_pts[pos:pos + total], qscale=qscale)
+            if sraw is not None:
+                flat_scal[pos:pos + total] = _decode_scalars(sraw, total)
+            pos += total
+
+    # Build the Tract (packed fast path; list view materializes lazily)
+    tr.set_packed(flat_pts, npts, scalars=flat_scal)
+    return tr
 
 def _assemble(fwd_pts, fwd_n, bwd_pts, bwd_n, len_min):
     """Vectorized ragged assembly: reversed forward prefix + backward prefix
@@ -761,20 +914,8 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
                 shape3, nsteps, float(step_size), cosang_thresh,
                 float(smooth_coeff), int(len_max), emit, qscale)
 
-    # Wire encoding: exact float32 positions on CPU (or on user opt-out);
-    # int8 error-feedback deltas on accelerators, where the device->host
-    # link is the bottleneck.  cfg.wire forces one codec explicitly.
-    if cfg.wire not in ("auto", "f32", "i8"):
-        raise ValueError(f"Unknown wire mode {cfg.wire!r} "
-                         "(expected auto/f32/i8)")
-    if cfg.wire == "auto":
-        mode = "f32" if (cfg.exact_points
-                         or jax.default_backend() == "cpu") else "i8"
-    else:
-        mode = "f32" if cfg.exact_points else cfg.wire
+    mode, qscale = _wire_mode(cfg, step_size)
     emit = "points" if mode == "f32" else "deltas"
-    # full int8 range per step regardless of the configured step size
-    qscale = 127.0 / max(float(step_size), 1e-6)
 
     # Empty seed set (e.g. a mask emptied by thresholds): empty Tract
     if len(seeds_all) == 0:
@@ -788,77 +929,6 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
         return tr
 
     starts = list(range(0, len(seeds_all), cfg.chunk))
-    # All chunks' raw propagation buffers live until their compaction;
-    # int8 chunks are small (~110 MB each) so everything phases at once,
-    # but exact-f32 chunks are ~0.9 GB each — bound those to waves of 2.
-    wave = len(starts) if mode == "i8" else 2
-
-    from ..ops.transfer import to_host
-    bufs = []
-    for w0 in range(0, len(starts), wave):
-        results = [launch(lo) for lo in starts[w0:w0 + wave]]
-
-        # One small fetch per wave for counts + anchors (per-call
-        # round-trip latency on tunneled links dwarfs these few MB)
-        with prof("stream.counts_fetch"):
-            meta_all = to_host(
-                jnp.concatenate([m for (_, _, _, _, m) in results])
-                if len(results) > 1 else results[0][4])
-        counts = []
-        off = 0
-        for i in range(len(results)):
-            s = results[i][1].shape[0]
-            counts.append(_unpack_meta(meta_all[off:off + 5 * s], s))
-            off += 5 * s
-
-        for i, ((fp, fn_d, bp, bn_d, _), (fn, bn, anch)) in enumerate(
-                zip(results, counts)):
-            buf, total, npts_c, keep = _compact_chunk(
-                fp, bp, fn, bn, fn_d, bn_d, cfg.len_min, mode, mesh=mesh)
-            bufs.append((buf, total, npts_c, anch[keep]))
-            results[i] = None     # release the raw point buffers
-
-    # Fetch chunk i+1 on a background thread while decoding chunk i (the
-    # int8->position cumsum is host CPU work that hides under wire time)
-    from concurrent.futures import ThreadPoolExecutor
-
-    live = [b for b in bufs if b[0] is not None]
-    npts_parts = [npts_c for _, _, npts_c, _ in live]
-    npts = np.concatenate(npts_parts) if npts_parts else \
-        np.zeros(0, np.int32)
     ref = mask if mask is not None else ovecs[0]
-    tr = Tract.from_ref(ref)
-
-    if cfg.trk_sink is not None:
-        # Write each chunk's lines to the .trk as it is fetched+decoded;
-        # the file write rides under the next chunk's wire time.
-        from ..io.trk import TrkSink
-
-        with TrkSink(cfg.trk_sink, tr, len(npts)) as sink, \
-                ThreadPoolExecutor(1) as pool:
-            futs = [pool.submit(_fetch_wire, buf, total, mode)
-                    for buf, total, npts_c, anch_k in live]
-            for fut, (_, total, npts_c, anch_k) in zip(futs, live):
-                pts = _decode_points(fut.result(), total, mode,
-                                     npts=npts_c, anchors=anch_k,
-                                     qscale=qscale)
-                sink.append(pts, npts_c)
-        tr.npts = npts
-        tr.n_count = int(len(npts))
-        return tr
-
-    total_all = sum(t for _, t, _, _ in live)
-    flat_pts = np.empty((total_all, 3), np.float32)
-    with ThreadPoolExecutor(1) as pool:
-        futs = [pool.submit(_fetch_wire, buf, total, mode)
-                for buf, total, npts_c, anch_k in live]
-        pos = 0
-        for fut, (_, total, npts_c, anch_k) in zip(futs, live):
-            _decode_points(fut.result(), total, mode,
-                           npts=npts_c, anchors=anch_k,
-                           out=flat_pts[pos:pos + total], qscale=qscale)
-            pos += total
-
-    # Build the Tract (packed fast path; list view materializes lazily)
-    tr.set_packed(flat_pts, npts)
-    return tr
+    return _drive_wire(launch, starts, cfg, mode, qscale,
+                       Tract.from_ref(ref), mesh=mesh)

@@ -503,3 +503,107 @@ class TestNewPointExports:
 
         assert len(strline) > 0
         assert np.allclose(np.asarray(strline), oracle_pts, atol=1e-5)
+
+
+class TestModesWire:
+    """LCM and micro modes on the production int8 wire (forced on CPU)."""
+
+    def _micro_setup(self):
+        shape = (30, 9, 9)
+        ov = _vec_field(shape, (1, 0, 0))
+        ov.volres = np.array([0.01, 0.01, 0.01], np.float32)
+        mask = np.zeros(shape, bool)
+        mask[:, 3:6, 3:6] = True
+        seedm = np.zeros(shape, bool)
+        seedm[10:20, 4, 4] = True
+        return ov, _mask_mri(ov, mask), _mask_mri(ov, seedm)
+
+    def test_micro_i8_exact(self):
+        """Cone-search jumps land on integer voxels, so the unit-quantum
+        delta wire reproduces the f32 path EXACTLY."""
+        ov, mask, seed = self._micro_setup()
+        kw = dict(mask=mask, seed=seed, nsub=0, search_dist=3, len_max=100)
+        f32 = ft.stream(ov, wire="f32", **kw)
+        i8 = ft.stream(ov, wire="i8", **kw)
+        np.testing.assert_array_equal(np.asarray(f32.npts),
+                                      np.asarray(i8.npts))
+        np.testing.assert_array_equal(f32.packed_xyz, i8.packed_xyz)
+
+    def test_micro_sink(self, tmp_path):
+        ov, mask, seed = self._micro_setup()
+        kw = dict(mask=mask, seed=seed, nsub=0, search_dist=3, len_max=100)
+        mem = ft.stream(ov, wire="i8", **kw)
+        out = str(tmp_path / "micro.trk")
+        ft.stream(ov, wire="i8", trk_sink=out, **kw)
+        back = ft.trk_read(out)
+        assert back.n_count == mem.n_count
+        mem.materialize()
+        for i in range(mem.n_count):
+            np.testing.assert_allclose(back.xyz[i], mem.xyz[i], atol=1e-4)
+
+    def _lcm_setup(self):
+        shape = (16, 16, 1)
+        v = np.zeros(shape + (3,), np.float32)
+        v[..., 0] = 1.0
+        ov = ft.MRI(vol=v)
+        ov.vox2ras0 = np.eye(4, dtype=np.float32)
+        ov.volsize = np.asarray(shape)
+        ov.width, ov.height, ov.depth = shape
+        ov.nframes = 3
+        ov.set_geometry()
+        mask = np.zeros(shape, bool)
+        mask[:, 6:10, 0] = True
+        seedm = np.zeros(shape, bool)
+        seedm[6:10, 8, 0] = True
+        lcm = np.zeros(shape + (10,), np.float32)
+        lcm[..., 2] = 1.0
+        return ov, _mask_mri(ov, mask), _mask_mri(ov, seedm), ft.MRI(vol=lcm)
+
+    def test_lcm_i8_matches_f32(self):
+        """Same PRNG keys -> same paths; the i8 wire reproduces the
+        coordinates within the 2/qscale bound and the method-difference
+        scalars exactly."""
+        ov, mask, seed, lcmm = self._lcm_setup()
+        kw = dict(mask=mask, seed=seed, lcms=lcmm, nsub=0, step_size=1.0,
+                  len_max=100, seed_rng=5)
+        f32 = ft.stream(ov, wire="f32", **kw)
+        i8 = ft.stream(ov, wire="i8", **kw)
+        np.testing.assert_array_equal(np.asarray(f32.npts),
+                                      np.asarray(i8.npts))
+        np.testing.assert_allclose(i8.packed_xyz, f32.packed_xyz,
+                                   atol=2.0 / 127.0)
+        np.testing.assert_array_equal(i8.packed_scalars, f32.packed_scalars)
+
+    def test_lcm_sink_with_scalars(self, tmp_path):
+        ov, mask, seed, lcmm = self._lcm_setup()
+        kw = dict(mask=mask, seed=seed, lcms=lcmm, nsub=0, step_size=1.0,
+                  len_max=100, seed_rng=5)
+        mem = ft.stream(ov, **kw)
+        out = str(tmp_path / "lcm.trk")
+        ft.stream(ov, trk_sink=out, **kw)
+        back = ft.trk_read(out)
+        assert back.n_count == mem.n_count
+        assert back.n_scalars == 1
+        mem.materialize()
+        for i in range(mem.n_count):
+            np.testing.assert_allclose(back.xyz[i], mem.xyz[i], atol=1e-4)
+            np.testing.assert_allclose(back.scalars[i], mem.scalars[i],
+                                       atol=1e-6)
+
+    def test_packed_scalar_trk_roundtrip(self, tmp_path):
+        """Packed Tract with per-point scalars writes the same bytes the
+        per-line writer produces."""
+        ov, mask, seed, lcmm = self._lcm_setup()
+        tr = ft.stream(ov, mask=mask, seed=seed, lcms=lcmm, nsub=0,
+                       step_size=1.0, len_max=100, seed_rng=5)
+        packed_f = str(tmp_path / "packed.trk")
+        ft.trk_write(tr, packed_f)
+
+        import copy
+        tr2 = ft.stream(ov, mask=mask, seed=seed, lcms=lcmm, nsub=0,
+                        step_size=1.0, len_max=100, seed_rng=5)
+        tr2.materialize()   # force the per-line writer
+        line_f = str(tmp_path / "line.trk")
+        ft.trk_write(tr2, line_f)
+        with open(packed_f, "rb") as a, open(line_f, "rb") as b:
+            assert a.read() == b.read()
