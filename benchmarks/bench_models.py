@@ -117,13 +117,14 @@ def bench_dsi(small):
     }
 
 
-def bench_rumba(small):
+def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False):
     import fibers_tpu as ft
 
     rng = np.random.default_rng(0)
     shape = (32, 32, 20) if small else (140, 140, 92)
     ndir = 32 if small else 270
-    niter = 60 if small else 600
+    if niter is None:
+        niter = 60 if small else 600
 
     nb0 = 2 if small else 18
     nsh = ndir - nb0
@@ -144,7 +145,8 @@ def bench_rumba(small):
     nmask = int(mask.sum())
 
     t0 = time.time()
-    rum = ft.rumba_rec(dwi, maskm, ft.sphere_724, niter=niter)
+    rum = ft.rumba_rec(dwi, maskm, ft.sphere_724, niter=niter,
+                       tv_bf16=tv_bf16)
     np.asarray(rum.peak[0].vol)   # materialize peaks; fodf stays lazy
     t_rumba = time.time() - t0
     sys.stderr.write(f"rumba_rec {niter} iters: {t_rumba:.1f}s "
@@ -158,7 +160,7 @@ def bench_rumba(small):
     assert np.isfinite(evals).all()
     sys.stderr.write(f"st_recon: {t_st:.1f}s\n")
 
-    return {
+    out = {
         "metric": "rumba600_plus_structens_hcp" if not small else
         "rumba_small",
         "value": round(t_rumba + t_st, 3),
@@ -168,17 +170,57 @@ def bench_rumba(small):
         "vox_iters_per_sec": round(nmask * niter / t_rumba),
     }
 
+    if chain_stream:
+        # The tutorial's actual workflow: RUMBA fODF peaks drive the
+        # deterministic tractography (reference: docs/tutorial.ipynb
+        # rumba -> stream).  ~1M streams from 3 jittered seeds/voxel.
+        import os
+        import tempfile
+
+        seed = ft.MRI.like(maskm, 1, np.float32)
+        idx = np.flatnonzero(mask)
+        nseed_vox = min(1_000_000 // 3, len(idx)) if not small else \
+            min(10_000, len(idx))
+        pick = idx[np.linspace(0, len(idx) - 1, nseed_vox, dtype=np.int64)]
+        sv = np.zeros(mask.size, np.float32)
+        sv[pick] = 1
+        seed.vol = sv.reshape(mask.shape)
+
+        t2 = time.time()
+        outdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        with tempfile.TemporaryDirectory(dir=outdir) as d:
+            tract = ft.stream(rum.peak, mask=maskm, seed=seed, nsub=3,
+                              trk_sink=os.path.join(d, "rumba.trk"))
+        t_tract = time.time() - t2
+        sys.stderr.write(f"rumba->stream: {t_tract:.1f}s "
+                         f"({tract.n_count} streamlines)\n")
+        out["metric"] += "_plus_stream"
+        out["stream_s"] = round(t_tract, 3)
+        out["streamlines"] = int(tract.n_count)
+        out["value"] = round(out["value"] + t_tract, 3)
+
+    return out
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, required=True, choices=(3, 4))
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--niter", type=int, default=None,
+                    help="override RUMBA iteration count (config 4)")
+    ap.add_argument("--tv-bf16", action="store_true",
+                    help="bfloat16 TV stencils (config 4)")
+    ap.add_argument("--chain-stream", action="store_true",
+                    help="chain RUMBA peaks into deterministic "
+                         "tractography (config 4)")
     args = ap.parse_args()
 
     if args.config == 3:
         out = bench_dsi(args.small)
     else:
-        out = bench_rumba(args.small)
+        out = bench_rumba(args.small, niter=args.niter,
+                          tv_bf16=args.tv_bf16,
+                          chain_stream=args.chain_stream)
     print(json.dumps(out))
 
 

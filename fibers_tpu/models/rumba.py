@@ -33,7 +33,7 @@ __all__ = ["RUMBASD", "rumba_rec", "rumba_write", "rumba_peaks",
 
 NPEAK = 5
 FTHRESH = 0.1
-_TV_CHUNK = 64
+_TV_CHUNK = 128
 _BLOCK_ITERS = 25
 
 # MXU precision for the R-L GEMMs.  "high" (3-pass bf16, ~2^-21 relative
@@ -135,20 +135,22 @@ def _angular_neighbors(odf_dirs: ODF):
 
 def _tv_stencil(v, lam):
     """Forward-difference gradient, normalized, then divergence — the TV
-    multiplier volume for a [C, nx, ny, nz] component stack.
-    (reference: src/rusd.jl:183-235)"""
+    multiplier volume for a channels-minor [nx, ny, nz, C] component
+    stack.  Channels-minor is the TPU-native layout here: every spatial
+    slice is a contiguous block of C-lane vectors, so the shifted reads
+    stream at HBM bandwidth instead of gathering across the tiled minor
+    axis.  (reference: src/rusd.jl:183-235)"""
     # Forward differences with clamped upper edge
     # (reference: src/rusd.jl:183-188)
-    gx = jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1) - v
-    gy = jnp.concatenate([v[:, :, 1:], v[:, :, -1:]], axis=2) - v
-    gz = jnp.concatenate([v[:, :, :, 1:], v[:, :, :, -1:]], axis=3) - v
+    gx = jnp.concatenate([v[1:], v[-1:]], axis=0) - v
+    gy = jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1) - v
+    gz = jnp.concatenate([v[:, :, 1:], v[:, :, -1:]], axis=2) - v
 
     norm = jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-7)
     gx, gy, gz = gx / norm, gy / norm, gz / norm
 
     # Divergence with boundary rows (reference: src/rusd.jl:194-206)
-    def ddiv(gr, axis):
-        ax = axis + 1
+    def ddiv(gr, ax):
         lead = jax.lax.slice_in_dim(gr, 0, 1, axis=ax)
         mid = (jax.lax.slice_in_dim(gr, 1, gr.shape[ax] - 1, axis=ax)
                - jax.lax.slice_in_dim(gr, 0, gr.shape[ax] - 2, axis=ax))
@@ -158,7 +160,7 @@ def _tv_stencil(v, lam):
 
     div = ddiv(gx, 0) + ddiv(gy, 1) + ddiv(gz, 2)
     div = div.astype(jnp.float32)
-    return 1.0 / (jnp.abs(1.0 - lam[None] * div) + 1e-7)
+    return 1.0 / (jnp.abs(1.0 - lam[..., None] * div) + 1e-7)
 
 
 def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz, mesh=None,
@@ -169,15 +171,17 @@ def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz, mesh=None,
     The mask embedding uses `gidx` (volume voxel -> batch row, padding
     row for out-of-mask) so it lowers to a GATHER — a scatter here
     measured ~1.7 s/iteration at HCP scale, ~90x the rest of the
-    iteration combined.  `shape3`/`nxyz`/`gidx`/`idx_mask` describe the
-    TV grid, which rumba_rec crops to the mask bounding box + 1-voxel
-    halo (exact: every stencil value a mask voxel reads is reproduced).
+    iteration combined.  Both gathers move whole [C]-component rows
+    (channels minor), which are contiguous 8x128-tileable reads.
+    `shape3`/`nxyz`/`gidx`/`idx_mask` describe the TV grid, which
+    rumba_rec crops to the mask bounding box + 1-voxel halo (exact:
+    every stencil value a mask voxel reads is reproduced).
 
     Single-device: components are processed in lax.map chunks so only
     _TV_CHUNK volumes are live at a time.  With `mesh`, the component
     axis is sharded across the mesh instead — each device owns whole TV
     volumes for its components, so the stencil and both gathers stay
-    device-local; the only collectives are the two transposes (batch-
+    device-local; the only collectives are the two reshards (batch-
     sharded fodf -> component-sharded stack and back), which GSPMD
     lowers to all-to-alls over ICI.
 
@@ -194,18 +198,17 @@ def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz, mesh=None,
     dt = jnp.bfloat16 if tv_bf16 else fodf.dtype
 
     if mesh is not None:
-        # Component-parallel path: all components at once, sharded over
-        # every mesh device.  [ncomp_pad, n+1] with the component axis
-        # on ("data", "model").
+        # Component-parallel path: all components at once, the component
+        # (minor) axis sharded over every mesh device.
         ndev = mesh.devices.size
         pad = (-ncomp) % ndev
         from jax.sharding import NamedSharding, PartitionSpec as P
-        comp_sharded = NamedSharding(mesh, P(("data", "model"), None))
-        fodf_p = jnp.pad(fodf.T.astype(dt), ((0, pad), (0, 1)))
+        comp_sharded = NamedSharding(mesh, P(None, ("data", "model")))
+        fodf_p = jnp.pad(fodf.astype(dt), ((0, 1), (0, pad)))
         fodf_p = jax.lax.with_sharding_constraint(fodf_p, comp_sharded)
-        v = jnp.take(fodf_p, gidx, axis=1).reshape((ncomp + pad,) + shape3)
-        tv = _tv_stencil(v, lam).reshape(ncomp + pad, nxyz)
-        tv = tv[:, idx_back][:ncomp].T
+        v = fodf_p[gidx].reshape(shape3 + (ncomp + pad,))
+        tv = _tv_stencil(v, lam).reshape(nxyz, ncomp + pad)
+        tv = tv[idx_back][:, :ncomp]
         return jax.lax.with_sharding_constraint(
             tv, NamedSharding(mesh, P("data", None)))
 
@@ -213,17 +216,18 @@ def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz, mesh=None,
     nchunks = (ncomp + pad) // _TV_CHUNK
     # pad components to the chunk size AND append the zero padding row
     # (the gather target for out-of-mask voxels) once, up front
-    fodf_p = jnp.pad(fodf.T.astype(dt), ((0, pad), (0, 1)))
-    chunks = fodf_p.reshape(nchunks, _TV_CHUNK, n + 1)
+    fodf_p = jnp.pad(fodf.astype(dt), ((0, 1), (0, pad)))
+    chunks = jnp.moveaxis(
+        fodf_p.reshape(n + 1, nchunks, _TV_CHUNK), 1, 0)
 
     def one_chunk(chunk):
-        vol = jnp.take(chunk, gidx, axis=1)        # [chunk, nxyz] gather
-        v = vol.reshape((_TV_CHUNK,) + shape3)
+        v = chunk[gidx].reshape(shape3 + (_TV_CHUNK,))   # row gather
         tv = _tv_stencil(v, lam)
-        return tv.reshape(_TV_CHUNK, nxyz)[:, idx_back]
+        return tv.reshape(nxyz, _TV_CHUNK)[idx_back]
 
-    tv_chunks = jax.lax.map(one_chunk, chunks)
-    return tv_chunks.reshape(nchunks * _TV_CHUNK, n)[:ncomp].T
+    tv_chunks = jax.lax.map(one_chunk, chunks)           # [nc, n, C]
+    return jnp.moveaxis(tv_chunks, 0, 1).reshape(
+        n, nchunks * _TV_CHUNK)[:, :ncomp]
 
 
 def _gather_index(idx_mask, n, nxyz):
