@@ -221,6 +221,9 @@ def main():
         out = bench_rumba(args.small, niter=args.niter,
                           tv_bf16=args.tv_bf16,
                           chain_stream=args.chain_stream)
+    from fibers_tpu.utils.profiling import prof_enabled, prof_summary
+    if prof_enabled():
+        sys.stderr.write(prof_summary() + "\n")
     print(json.dumps(out))
 
 

@@ -322,6 +322,16 @@ def _rumba_block(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
         0, k, body, (fodf, dodf, dodf_sig, sig2, lam_flat, snr))
 
 
+@partial(jax.jit, static_argnames=("nmask",))
+def _snr_stats(sig2, nmask):
+    """Mean/std of SNR = 1/sigma over the real (non-padding) voxels,
+    reduced on device so the host fetches two scalars."""
+    snr = 1.0 / jnp.sqrt(sig2[:nmask, 0])
+    m = snr.mean()
+    var = ((snr - m) ** 2).sum() / jnp.maximum(nmask - 1, 1)
+    return m, jnp.sqrt(jnp.maximum(var, 0.0))
+
+
 @partial(jax.jit, static_argnames=("nvert",))
 def _rumba_post(fodf, nvert):
     """Energy normalization, isotropic-fraction embedding, and GFA — all
@@ -509,28 +519,31 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             mesh = shd.mesh
 
     from ..ops.transfer import to_device
+    from ..utils.profiling import prof
 
     # Signal matrix: average b0 first, then DWIs, normalized by b0
     # (reference: src/rusd.jl:450-465)
-    if batch is not None:
-        signal_j = _signal_from_batch(
-            batch.signals,
-            jnp.asarray(np.flatnonzero(ib0)),
-            jnp.asarray(np.flatnonzero(~ib0)))
-        n_rows = batch.n_pad
-    else:
-        vol = np.asarray(dwi.vol)
-        flat = vol.reshape(-1, vol.shape[3])
-        b0_mean = np.maximum(flat[idx][:, ib0], 0).mean(axis=1)
-        dwis = np.maximum(flat[idx][:, ~ib0], 0)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            dwis = dwis / b0_mean[:, None]
-        dwis[~np.isfinite(dwis)] = 0
-        signal = np.concatenate([(b0_mean > 0).astype(np.float32)[:, None],
-                                 dwis.astype(np.float32)], axis=1)
-        signal = np.minimum(signal, 1.0)
-        signal_j = to_device(signal)
-        n_rows = nmask
+    with prof("rumba.signal"):
+        if batch is not None:
+            signal_j = _signal_from_batch(
+                batch.signals,
+                jnp.asarray(np.flatnonzero(ib0)),
+                jnp.asarray(np.flatnonzero(~ib0)))
+            n_rows = batch.n_pad
+        else:
+            vol = np.asarray(dwi.vol)
+            flat = vol.reshape(-1, vol.shape[3])
+            b0_mean = np.maximum(flat[idx][:, ib0], 0).mean(axis=1)
+            dwis = np.maximum(flat[idx][:, ~ib0], 0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                dwis = dwis / b0_mean[:, None]
+            dwis[~np.isfinite(dwis)] = 0
+            signal = np.concatenate(
+                [(b0_mean > 0).astype(np.float32)[:, None],
+                 dwis.astype(np.float32)], axis=1)
+            signal = np.minimum(signal, 1.0)
+            signal_j = to_device(signal)
+            n_rows = nmask
 
     nbr, nbr_ok = _angular_neighbors(odf_dirs)
     half_verts = odf_dirs.vertices[:nvert].astype(np.float32)
@@ -614,9 +627,12 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                          nmask=nmask, ncomp=ncomp, niter=niter)
                 os.replace(tmp, checkpoint_path)
 
-    snr_np = np.asarray(snr)[:nmask, 0]
-    snr_mean = float(snr_np.mean())
-    snr_std = float(snr_np.std(ddof=1)) if nmask > 1 else 0.0
+    # SNR summary as two on-device scalars: a host fetch of the [N, 1]
+    # snr array would take the pathological tiled-layout path (measured
+    # ~70 s at HCP scale on the tunneled runtime for 2.9 MB)
+    sm_d, ss_d = _snr_stats(sig2, nmask)
+    snr_mean = float(sm_d)
+    snr_std = float(ss_d) if nmask > 1 else 0.0
 
     from ..core.lazy import LazyVolume
     from ..ops.transfer import to_host
@@ -653,7 +669,7 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         fcsf=vol_of(fcsf_v.astype(np.float32), 1),
         peak=peak,
         gfa=vol_of(gfa_v.astype(np.float32), 1),
-        var=vol_of(np.asarray(sig2)[:nmask, 0], 1),
+        var=vol_of(to_host(sig2, n_lead=nmask)[:, 0], 1),
         snr_mean=snr_mean,
         snr_std=snr_std,
     )
