@@ -171,11 +171,28 @@ def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False):
     }
 
     if chain_stream:
-        # The tutorial's actual workflow: RUMBA fODF peaks drive the
-        # deterministic tractography (reference: docs/tutorial.ipynb
-        # rumba -> stream).  ~1M streams from 3 jittered seeds/voxel.
+        # Config 4 -> config 5: RUMBA fODF peaks drive the deterministic
+        # tractography, ~1M streams from 3 jittered seeds/voxel.  The
+        # peak vectors carry amplitude in their magnitude (reference:
+        # src/rusd.jl:602-633); split them into unit directions + `f`
+        # amplitude volumes, which the engine thresholds at f_thresh
+        # (the propagation math expects unit vectors — the reference's
+        # own TODO at src/stream.jl:146).
         import os
         import tempfile
+
+        ovecs, fvols = [], []
+        for pk in rum.peak:
+            v = np.asarray(pk.vol, np.float32)
+            a = np.linalg.norm(v, axis=-1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                u = np.where(a[..., None] > 0, v / a[..., None], 0.0)
+            ov = ft.MRI.like(pk, 3, np.float32)
+            ov.vol = u.astype(np.float32)
+            fv = ft.MRI.like(pk, 1, np.float32)
+            fv.vol = a
+            ovecs.append(ov)
+            fvols.append(fv)
 
         seed = ft.MRI.like(maskm, 1, np.float32)
         idx = np.flatnonzero(mask)
@@ -189,8 +206,8 @@ def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False):
         t2 = time.time()
         outdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
         with tempfile.TemporaryDirectory(dir=outdir) as d:
-            tract = ft.stream(rum.peak, mask=maskm, seed=seed, nsub=3,
-                              trk_sink=os.path.join(d, "rumba.trk"))
+            tract = ft.stream(ovecs, f=fvols, mask=maskm, seed=seed,
+                              nsub=3, trk_sink=os.path.join(d, "rumba.trk"))
         t_tract = time.time() - t2
         sys.stderr.write(f"rumba->stream: {t_tract:.1f}s "
                          f"({tract.n_count} streamlines)\n")

@@ -630,9 +630,10 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     # SNR summary as two on-device scalars: a host fetch of the [N, 1]
     # snr array would take the pathological tiled-layout path (measured
     # ~70 s at HCP scale on the tunneled runtime for 2.9 MB)
-    sm_d, ss_d = _snr_stats(sig2, nmask)
-    snr_mean = float(sm_d)
-    snr_std = float(ss_d) if nmask > 1 else 0.0
+    with prof("rumba.drain"):
+        sm_d, ss_d = _snr_stats(sig2, nmask)
+        snr_mean = float(sm_d)
+        snr_std = float(ss_d) if nmask > 1 else 0.0
 
     from ..core.lazy import LazyVolume
     from ..ops.transfer import to_host
@@ -646,10 +647,13 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             fodf_full, f_iso_d, jnp.asarray(half_verts), jnp.asarray(nbr),
             jnp.asarray(nbr_ok), FTHRESH)
 
-        vecs = to_host(vecs_d, n_lead=nmask)
-        fgm_v = np.asarray(fgm_d)[:nmask]
-        fcsf_v = np.asarray(fcsf_d)[:nmask]
-        gfa_v = np.asarray(gfa_d)[:nmask]
+        with prof("rumba.peaks_fetch"):
+            vecs = to_host(vecs_d, n_lead=nmask)
+        # one stacked fetch for the three scalar maps (3 round trips -> 1)
+        with prof("rumba.maps_fetch"):
+            fff = to_host(jnp.stack([fgm_d, fcsf_d, gfa_d], axis=0))
+        fgm_v, fcsf_v, gfa_v = (fff[0, :nmask], fff[1, :nmask],
+                                fff[2, :nmask])
 
     def vol_of(arr, nframes):
         m = MRI.like(mask, nframes, np.float32)
