@@ -50,8 +50,12 @@ def _get_pool():
     return _pool
 
 
-_UP_CHUNK_BYTES = int(os.environ.get("FIBERS_H2D_CHUNK_MB", 36)) << 20
-_UP_THREADS = int(os.environ.get("FIBERS_H2D_THREADS", 4))
+# 2026-08-16 re-tune: 36 MB upload chunks collapse to <1 MB/s in bad
+# tunnel windows (large RPCs stall) while 16 MB chunks sustain ~30 MB/s
+# in the same window and lose little in good ones — prefer more, smaller
+# chunks.
+_UP_CHUNK_BYTES = int(os.environ.get("FIBERS_H2D_CHUNK_MB", 16)) << 20
+_UP_THREADS = int(os.environ.get("FIBERS_H2D_THREADS", 8))
 _upool = None
 
 
