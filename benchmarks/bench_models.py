@@ -181,18 +181,7 @@ def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False):
         import os
         import tempfile
 
-        ovecs, fvols = [], []
-        for pk in rum.peak:
-            v = np.asarray(pk.vol, np.float32)
-            a = np.linalg.norm(v, axis=-1)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                u = np.where(a[..., None] > 0, v / a[..., None], 0.0)
-            ov = ft.MRI.like(pk, 3, np.float32)
-            ov.vol = u.astype(np.float32)
-            fv = ft.MRI.like(pk, 1, np.float32)
-            fv.vol = a
-            ovecs.append(ov)
-            fvols.append(fv)
+        ovecs, fvols = ft.peaks_to_ovecs(rum)
 
         seed = ft.MRI.like(maskm, 1, np.float32)
         idx = np.flatnonzero(mask)

@@ -52,7 +52,8 @@ def __getattr__(name):
         from .models import structens as _m
         return getattr(_m, name)
     if name in ("stream", "StreamConfig", "StreamWork", "stream_new_line",
-                "stream_new_point", "stream_micro_new_point"):
+                "stream_new_point", "stream_micro_new_point",
+                "peaks_to_ovecs"):
         from .tract import stream as _m
         return getattr(_m, name)
     if name in ("LUT", "color_lut", "info", "disp", "show_slice",

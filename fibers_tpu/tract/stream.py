@@ -32,7 +32,36 @@ from ..io.trk import Tract, str_add
 from ..utils.profiling import prof
 
 __all__ = ["stream", "StreamConfig", "StreamWork", "stream_new_line",
-           "stream_new_point", "stream_micro_new_point", "propagate_chunk"]
+           "stream_new_point", "stream_micro_new_point", "propagate_chunk",
+           "peaks_to_ovecs"]
+
+
+def peaks_to_ovecs(rec):
+    """(ovecs, fs) tractography inputs from a reconstruction result.
+
+    GQI/DSI peaks are unit vertex directions with separate `qa` amplitude
+    volumes — returned as-is.  RUMBA-SD peaks carry the volume-fraction
+    amplitude in their magnitude (reference: src/rusd.jl:602-633) — split
+    into unit directions + amplitude volumes, since the propagation math
+    (like the reference's, see its TODO at src/stream.jl:146) expects
+    unit vectors.  Pass the results to `stream(ovecs, f=fs, ...)`.
+    """
+    if hasattr(rec, "qa"):                      # GQI / DSI
+        return list(rec.peak), list(rec.qa)
+
+    ovecs, fs = [], []
+    for pk in rec.peak:
+        v = np.asarray(pk.vol, np.float32)
+        a = np.linalg.norm(v, axis=-1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            u = np.where(a[..., None] > 0, v / a[..., None], 0.0)
+        ov = MRI.like(pk, 3, np.float32)
+        ov.vol = u.astype(np.float32)
+        fv = MRI.like(pk, 1, np.float32)
+        fv.vol = a.astype(np.float32)
+        ovecs.append(ov)
+        fs.append(fv)
+    return ovecs, fs
 
 
 @dataclass

@@ -607,3 +607,31 @@ class TestModesWire:
         ft.trk_write(tr2, line_f)
         with open(packed_f, "rb") as a, open(line_f, "rb") as b:
             assert a.read() == b.read()
+
+
+class TestPeaksToOvecs:
+    def test_rumba_peaks_split_and_track(self):
+        """rumba_rec -> peaks_to_ovecs -> stream produces streamlines on
+        a single-fiber phantom (the config-4 -> config-5 chain)."""
+        from phantom import make_phantom
+        dwi, mask, axes, _ = make_phantom(shape=(8, 6, 6), ndir=30)
+        rec = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=40)
+        ovecs, fs = ft.peaks_to_ovecs(rec)
+        assert len(ovecs) == 5 and len(fs) == 5
+        m = mask.vol > 0
+        norms = np.linalg.norm(ovecs[0].vol[m], axis=-1)
+        assert np.allclose(norms[norms > 0], 1.0, atol=1e-5)
+        # amplitude volume carries what the magnitude used to
+        orig = np.linalg.norm(rec.peak[0].vol[m], axis=-1)
+        np.testing.assert_allclose(fs[0].vol[m], orig, atol=1e-6)
+
+        tr = ft.stream(ovecs, f=fs, mask=mask, nsub=1, f_thresh=0.01)
+        assert tr.n_count > 10
+
+    def test_gqi_passthrough(self):
+        from phantom import make_phantom
+        dwi, mask, _, _ = make_phantom(shape=(4, 4, 4), ndir=30)
+        rec = ft.gqi_rec(dwi, mask, ft.sphere_362)
+        ovecs, fs = ft.peaks_to_ovecs(rec)
+        assert ovecs[0] is rec.peak[0]
+        assert fs[0] is rec.qa[0]
