@@ -194,6 +194,9 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     max_chunk = max(8, int(mem_budget * ndata / (nfft ** 3 * 20)))
     if chunk * ndata > max_chunk:
         chunk = 1 << int(np.floor(np.log2(max_chunk)))
+        if chunk % ndata:
+            # sharded chunks must split evenly across the data axis
+            chunk = max(ndata, (chunk // ndata) * ndata)
     else:
         chunk = chunk * ndata
 

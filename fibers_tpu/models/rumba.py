@@ -164,7 +164,7 @@ def _tv_stencil(v, lam):
 
 
 def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz, mesh=None,
-             tv_bf16=False):
+             tv_bf16=False, use_pallas=True):
     """Total-variation multiplier for every component.
     (reference: src/rusd.jl:183-235, src/rusd.jl:282-296)
 
@@ -199,11 +199,13 @@ def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz, mesh=None,
 
     if mesh is not None:
         # Component-parallel path: all components at once, the component
-        # (minor) axis sharded over every mesh device.
+        # (minor) axis sharded over every mesh device.  Uses whatever
+        # axes the mesh has (a data-only mesh is fine); only "data" is
+        # required, for the output's batch-axis constraint.
         ndev = mesh.devices.size
         pad = (-ncomp) % ndev
         from jax.sharding import NamedSharding, PartitionSpec as P
-        comp_sharded = NamedSharding(mesh, P(None, ("data", "model")))
+        comp_sharded = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
         fodf_p = jnp.pad(fodf.astype(dt), ((0, 1), (0, pad)))
         fodf_p = jax.lax.with_sharding_constraint(fodf_p, comp_sharded)
         v = fodf_p[gidx].reshape(shape3 + (ncomp + pad,))
@@ -218,7 +220,7 @@ def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz, mesh=None,
     # [Y, Z, 128] f32 buffers must fit the raised 100 MB budget.
     from ..ops.pallas.tv_stencil import tv_available
 
-    if (tv_available()
+    if (use_pallas and tv_available()
             and shape3[1] * shape3[2] * 128 * 4 * 10 < 100 * 1024 * 1024):
         from ..ops.pallas.tv_stencil import tv_multiplier
 
@@ -425,16 +427,13 @@ def rumba_peaks(fodf, f_iso, odf_dirs: ODF = None, thr: float = FTHRESH):
     return np.asarray(isort), np.asarray(nvalid)
 
 
-def _tv_bbox(mask_vol, idx, shape3):
+def _tv_bbox(idx, shape3):
     """Crop the TV grid to the mask bounding box + 1-voxel halo (clamped
     to the volume).  Exact: every gradient/divergence cell a mask voxel
     reads lives within the halo, and cells at the halo edge reproduce the
     full-volume values (their neighbors there are all out-of-mask zeros,
     matching the clamped-edge stencil).  Returns (tv_shape3, tv_nxyz,
     idx_tv) with idx_tv the mask voxels' flat indices within the crop."""
-    m = np.asarray(mask_vol)
-    if m.ndim == 4:
-        m = m[..., 0]
     xyz = np.unravel_index(idx, shape3)
     lo = [max(int(c.min()) - 1, 0) if len(c) else 0 for c in xyz]
     hi = [min(int(c.max()) + 2, s) if len(c) else s
@@ -523,7 +522,7 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     # TV runs on the mask bounding box + halo, not the full volume: at
     # HCP scale ~45% of the volume is air the reference's full-grid
     # stencils (src/rusd.jl:282-296) recompute every iteration.
-    tv_shape3, tv_nxyz, idx_tv = _tv_bbox(mask.vol, idx, shape3)
+    tv_shape3, tv_nxyz, idx_tv = _tv_bbox(idx, shape3)
 
     # Infer the mesh from a sharded prepared batch
     if mesh is None and batch is not None:

@@ -49,10 +49,14 @@ def full_recon_step(signals, rumba_signal, fodf, sig2, lam_flat, tv_idx,
     per-component difference stencils over the (bbox-cropped) TV grid —
     the one term whose gathers cross the batch sharding, included here so
     the multi-chip dry run proves it compiles and executes under GSPMD
-    (reference: src/rusd.jl:183-235, 282-296).
+    (reference: src/rusd.jl:183-235, 282-296).  The TV term runs on the
+    XLA stencil path (use_pallas=False): a Mosaic kernel has no GSPMD
+    partitioning rule, so the fused Pallas stencil cannot sit inside
+    this mesh-sharded jit.
 
-    Returns (fa, odf, peaks, fodf', sig2', positions') — enough outputs
-    to keep every path live under jit.
+    Returns (fa, odf, peaks, qa, fodf', sig2', lam', points, npts) —
+    enough outputs to keep every path live under jit.  Feed fodf'/sig2'/
+    lam' back as fodf/sig2/lam_flat to iterate.
     """
     hp = jax.lax.Precision.HIGHEST
 
@@ -80,7 +84,8 @@ def full_recon_step(signals, rumba_signal, fodf, sig2, lam_flat, tv_idx,
           / (jnp.dot(dodf, kernel, precision=hp) + 1e-7))
     tv_nxyz = int(np.prod(tv_shape3))
     gidx = _gather_index(tv_idx, fodf.shape[0], tv_nxyz)
-    tv = _tv_term(fodf, gidx, tv_idx, lam_flat, tv_shape3, tv_nxyz)
+    tv = _tv_term(fodf, gidx, tv_idx, lam_flat, tv_shape3, tv_nxyz,
+                  use_pallas=False)
     fodf_new = jnp.maximum(fodf * rl * tv, 0.0)
     resid = ((rumba_signal ** 2 + dodf ** 2) / 2
              - (sig2 * dodf_sig) * iratio)

@@ -370,7 +370,7 @@ def stream_micro(ovecs, fs, mask_array, seed, cfg, nsub, ang_thresh,
                  step_size, smooth_coeff, len_max):
     """Driver for microscopy cone-search tractography.
     (reference: src/stream.jl:547-619)"""
-    from .stream import _assemble, _build_ovec_array
+    from .stream import _build_ovec_array
 
     shape3 = mask_array.shape
     search_dist = [int(cfg.search_dist)] * 3
@@ -413,7 +413,9 @@ def stream_micro(ovecs, fs, mask_array, seed, cfg, nsub, ang_thresh,
 
     mode, qscale = _wire_mode(cfg, step_size)
     if mode == "i8":
-        if nsub == 0 and int(cfg.search_dist) < 127:
+        # per-axis jump can reach search_dist + the tentative step
+        if (nsub == 0
+                and int(cfg.search_dist) + int(np.ceil(step_size)) < 127):
             # cone-search jumps land on integer voxels and the seeds are
             # integers: unit-quantum deltas are EXACT
             qscale = 1.0

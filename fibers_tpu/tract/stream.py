@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.mri import MRI
-from ..io.trk import Tract, str_add
+from ..io.trk import Tract
 from ..utils.profiling import prof
 
 __all__ = ["stream", "StreamConfig", "StreamWork", "stream_new_line",
@@ -921,14 +921,15 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
     def launch(lo):
         hi = min(lo + cfg.chunk, len(seeds_all))
         seeds_c, subs_c = seeds_all[lo:hi], subs_all[lo:hi]
-        padn = 0
-        if hi - lo < cfg.chunk and len(seeds_all) > cfg.chunk:
-            # pad the last chunk with out-of-bounds seeds (immediately
-            # inactive, filtered by len_min) to keep one compiled shape
-            padn = cfg.chunk - (hi - lo)
-        elif mesh is not None and (hi - lo) % ndata:
-            # sharded chunks must split evenly across the data axis
-            padn = ndata - (hi - lo) % ndata
+        # pad the last chunk with out-of-bounds seeds (immediately
+        # inactive, filtered by len_min) to keep one compiled shape, AND
+        # (sharded) to a multiple of the data-axis size — both can apply
+        target = hi - lo
+        if target < cfg.chunk and len(seeds_all) > cfg.chunk:
+            target = cfg.chunk
+        if mesh is not None and target % ndata:
+            target += ndata - target % ndata
+        padn = target - (hi - lo)
         if padn:
             seeds_c = np.concatenate(
                 [seeds_c, np.full((padn, 3), -10.0, np.float32)])
