@@ -268,7 +268,45 @@ print(f"median z-extent: {np.median(zdrift):.2f} voxels")
 assert np.median(zdrift) < 2.0
 """),
     md("""
-## 8. Where to go from here
+## 8. RUMBA fODF peaks -> tractography
+
+RUMBA's peak vectors carry the fiber volume fraction in their magnitude;
+`ft.peaks_to_ovecs` splits them into unit directions plus `f` amplitude
+volumes, which `stream` thresholds at `f_thresh`.
+"""),
+    code("""
+ovecs, fs = ft.peaks_to_ovecs(rumba60)
+tract_r = ft.stream(ovecs, f=fs, mask=maskm, nsub=1, f_thresh=0.01)
+print(f"{tract_r.n_count} streamlines from the RUMBA peak field")
+assert tract_r.n_count > 500
+"""),
+    md("""
+## 9. Multi-chip fits
+
+Every fit takes a prepared `VoxelBatch`; preparing it on a
+`jax.sharding.Mesh` makes the same calls data-parallel across every
+device (here: the virtual CPU devices of this notebook kernel — on a
+TPU pod the same two lines shard over ICI).  RUMBA's TV regularizer
+reshards over fODF components internally so its stencils stay
+device-local.
+"""),
+    code("""
+import jax
+from fibers_tpu.parallel.mesh import make_mesh
+
+if len(jax.devices()) > 1:
+    mesh = make_mesh()
+    batch = ft.prepare_batch(dwi, maskm, mesh=mesh)
+    dti_sharded = ft.dti_fit(dwi, maskm, batch=batch)
+    err = np.abs(np.asarray(dti_sharded.fa.vol)
+                 - np.asarray(dti.fa.vol)).max()
+    print(f"{len(jax.devices())}-device mesh: max |dFA| = {err:.2e}")
+    assert err < 1e-4
+else:
+    print("single device - mesh demo skipped")
+"""),
+    md("""
+## 10. Where to go from here
 
 - `ft.dsi_rec` — DSI q-space reconstruction (batched 3D FFT)
 - `ft.st_recon` — structure-tensor orientation for microscopy volumes
@@ -277,8 +315,9 @@ assert np.median(zdrift) < 2.0
   for voxel sizes <= 50 um
 - `ft.xfm_read` / `ft.str_xform` — applying registration transforms to
   volumes and tractograms
-- On multi-chip TPU systems, fits shard over a
-  `jax.sharding.Mesh` — see `fibers_tpu/parallel/`.
+- `ft.rumba_rec(..., batch=prepare_batch(..., mesh=mesh))` and
+  `ft.stream(..., mesh=mesh)` scale the heavy fits and tractography
+  across a TPU pod; see `fibers_tpu/parallel/` and docs/parity.md.
 """),
 ]
 
