@@ -219,3 +219,69 @@ class TestShardedStream:
         for i in range(0, len(ln), max(1, len(ln) // 20)):
             np.testing.assert_allclose(sharded.xyz[i], local.xyz[i],
                                        atol=1e-6)
+
+
+class TestMeshEdgeCases:
+    def test_stream_mesh_chunk_not_divisible(self):
+        """Chunked + sharded padding compose: a chunk size that is not a
+        multiple of the data axis still shards (pads to both)."""
+        _require_devices(8)
+        import fibers_tpu as ft
+        from fibers_tpu.parallel.mesh import make_mesh
+
+        shape = (12, 10, 8)
+        v = np.zeros(shape + (3,), np.float32)
+        v[..., 0] = 1.0
+        ov = ft.MRI(vol=v)
+        ov.vox2ras0 = np.eye(4, dtype=np.float32)
+        ov.volsize = np.asarray(shape)
+        ov.width, ov.height, ov.depth = shape
+        ov.nframes = 3
+        ov.set_geometry()
+
+        mesh = make_mesh(8)
+        # chunk=100 is not a multiple of 8; total seeds not a multiple
+        # of the chunk either -> exercises both pads at once
+        local = ft.stream(ov, nsub=1, chunk=100)
+        sharded = ft.stream(ov, nsub=1, chunk=100, mesh=mesh)
+        np.testing.assert_array_equal(np.asarray(local.npts),
+                                      np.asarray(sharded.npts))
+        np.testing.assert_allclose(sharded.packed_xyz, local.packed_xyz,
+                                   atol=1e-6)
+
+    def test_dsi_mesh_chunk_rounds_to_data_axis(self):
+        """The memory-guarded DSI chunk rounds to a data-axis multiple."""
+        _require_devices(8)
+        import fibers_tpu as ft
+        from fibers_tpu.parallel.mesh import make_mesh
+        from phantom import make_phantom
+
+        dwi, mask, _, _ = make_phantom(shape=(4, 3, 3), ndir=40,
+                                       bmax=4000.0, two_shell=True)
+        mesh = make_mesh(8)
+        batch = ft.prepare_batch(dwi, mask, mesh=mesh)
+        # tiny memory budget forces the power-of-two guard path
+        local = ft.dsi_rec(dwi, mask, ft.sphere_362, hann_width=8)
+        sharded = ft.dsi_rec(dwi, mask, ft.sphere_362, hann_width=8,
+                             batch=batch, mem_budget=2e6)
+        np.testing.assert_allclose(np.asarray(sharded.odf.vol),
+                                   np.asarray(local.odf.vol),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_rumba_data_only_mesh(self):
+        """rumba_rec works on a mesh with only a 'data' axis."""
+        _require_devices(8)
+        import jax
+        import fibers_tpu as ft
+        from jax.sharding import Mesh
+        from phantom import make_phantom
+
+        dwi, mask, _, _ = make_phantom(shape=(4, 4, 3), ndir=30)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        batch = ft.prepare_batch(dwi, mask, mesh=mesh)
+        local = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=6)
+        sharded = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=6,
+                               batch=batch)
+        np.testing.assert_allclose(np.asarray(sharded.fodf.vol),
+                                   np.asarray(local.fodf.vol),
+                                   rtol=1e-4, atol=1e-6)
