@@ -34,7 +34,7 @@ __all__ = ["RUMBASD", "rumba_rec", "rumba_write", "rumba_peaks",
 NPEAK = 5
 FTHRESH = 0.1
 _TV_CHUNK = 128
-_BLOCK_ITERS = 100
+_BLOCK_ITERS = 25
 
 # MXU precision for the R-L GEMMs.  "high" (3-pass bf16, ~2^-21 relative
 # error — effectively float32 for this multiplicative EM update) is the
