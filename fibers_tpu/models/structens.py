@@ -34,28 +34,33 @@ _SCHARR_SMOOTH = np.array([3.0, 10.0, 3.0], np.float32) / 16.0
 _SCHARR_DERIV = np.array([-0.5, 0.0, 0.5], np.float32)
 
 
-def _conv1d_reflect(vol, kernel, axis):
-    """Separable 1D convolution along `axis` with reflect ("symmetric")
-    boundary, matching imfilter(..., "reflect")."""
-    k = jnp.asarray(kernel)
+def _band_matrix(n: int, kernel: np.ndarray) -> np.ndarray:
+    """[n, n] banded correlation matrix with the "symmetric" (edge-
+    inclusive reflect) boundary folded into the edge rows — so the 1-D
+    filtering becomes one MXU GEMM instead of a batch-1/channel-1
+    convolution (a shape XLA lowers to a ~100x-underutilized conv)."""
     r = (len(kernel) - 1) // 2
-    pad = [(0, 0)] * vol.ndim
-    pad[axis] = (r, r)
-    v = jnp.pad(vol, pad, mode="symmetric")
+    b = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for t, w in enumerate(np.asarray(kernel, np.float64)):
+            j = i + t - r
+            while j < 0 or j >= n:      # multiple reflections for k > n
+                j = -1 - j if j < 0 else 2 * n - 1 - j
+            b[i, j] += w
+    return b
 
-    # correlation via conv_general_dilated on [N=1, C=1, ...] layout
-    x = v[None, None]
-    kshape = [1] * vol.ndim
-    kshape[axis] = len(kernel)
-    w = k.reshape([1, 1] + kshape)
-    dn = jax.lax.conv_dimension_numbers(
-        x.shape, w.shape,
-        ("NC" + "DHW"[:vol.ndim], "OI" + "DHW"[:vol.ndim],
-         "NC" + "DHW"[:vol.ndim]))
-    out = jax.lax.conv_general_dilated(
-        x, w, window_strides=[1] * vol.ndim, padding="VALID",
-        dimension_numbers=dn)
-    return out[0, 0]
+
+def _conv1d_reflect(vol, kernel, axis):
+    """Separable 1D correlation along `axis` with reflect ("symmetric")
+    boundary, matching imfilter(..., "reflect"); contracted as a banded
+    [n, n] GEMM over the filtered axis (TPU-native: the MXU does in one
+    pass what a [1, 1, ...]-shaped conv spends thousands of cycles on)."""
+    n = vol.shape[axis]
+    b = jnp.asarray(_band_matrix(n, np.asarray(kernel)))
+    v = jnp.moveaxis(vol, axis, 0)
+    out = jnp.tensordot(b, v, axes=([1], [0]),
+                        precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out, 0, axis)
 
 
 def _smooth(vol, sigma):
