@@ -40,7 +40,15 @@ import os
 
 _CHUNK_BYTES = int(os.environ.get("FIBERS_D2H_CHUNK_MB", 16)) << 20
 _THREADS = int(os.environ.get("FIBERS_D2H_THREADS", 8))
+# Hedged fetches: if a chunk makes no progress for this long after its
+# predecessor completed, re-issue it on a spare thread and take
+# whichever copy finishes first.  Individual RPCs on the tunneled
+# runtime occasionally hang for many minutes while the link itself is
+# healthy (observed: an 18-minute stall inside one 16 MB fetch between
+# two normal ones); re-reading an immutable device buffer is safe.
+_HEDGE_AFTER_S = float(os.environ.get("FIBERS_D2H_HEDGE_S", 30))
 _pool = None
+_hedge_pool = None
 
 
 def _get_pool():
@@ -48,6 +56,33 @@ def _get_pool():
     if _pool is None:
         _pool = ThreadPoolExecutor(_THREADS)
     return _pool
+
+
+def _get_hedge_pool():
+    global _hedge_pool
+    if _hedge_pool is None:
+        _hedge_pool = ThreadPoolExecutor(4)
+    return _hedge_pool
+
+
+def _hedged_results(futs, chunks):
+    """Consume fetch futures in order with a progress watchdog: a chunk
+    that stalls for _HEDGE_AFTER_S after its predecessor finished is
+    re-issued; the first completed copy wins."""
+    import concurrent.futures as cf
+    import sys
+
+    for f, c in zip(futs, chunks):
+        try:
+            yield f.result(timeout=_HEDGE_AFTER_S)
+            continue
+        except cf.TimeoutError:
+            pass
+        sys.stderr.write("fibers_tpu.transfer: chunk fetch stalled "
+                         f">{_HEDGE_AFTER_S:.0f}s; hedging\n")
+        g = _get_hedge_pool().submit(np.asarray, c)
+        done, _ = cf.wait({f, g}, return_when=cf.FIRST_COMPLETED)
+        yield next(iter(done)).result()
 
 
 # 2026-08-16 re-tune: 36 MB upload chunks collapse to <1 MB/s in bad
@@ -153,7 +188,8 @@ def to_host(x, n_lead=None) -> np.ndarray:
     if starts and starts[-1] + elems > n:
         starts[-1] = n - elems
     chunks = [jax.lax.slice_in_dim(flat, i, i + elems) for i in starts]
-    parts = list(_get_pool().map(np.asarray, chunks))
+    futs = [_get_pool().submit(np.asarray, c) for c in chunks]
+    parts = list(_hedged_results(futs, chunks))
 
     out = np.empty(n_need, x.dtype)
     for i, p in zip(starts, parts):
