@@ -28,6 +28,18 @@ class VoxelBatch:
     def n_pad(self) -> int:
         return self.signals.shape[0]
 
+    @property
+    def mesh(self):
+        """The multi-device mesh this batch is sharded over, or None.
+        Fits use it to run data-parallel without a separate mesh arg."""
+        from jax.sharding import NamedSharding
+        shd = getattr(self.signals, "sharding", None)
+        if (isinstance(shd, NamedSharding)
+                and "data" in shd.mesh.axis_names
+                and shd.mesh.devices.size > 1):
+            return shd.mesh
+        return None
+
 
 def prepare_batch(dwi, mask, mesh=None) -> VoxelBatch:
     """Gather the masked voxel signals and place them on device once.

@@ -181,12 +181,7 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     nbr, nbr_ok = build_neighbors(faces0, nvert)
 
     if mesh is None and batch is not None:
-        from jax.sharding import NamedSharding
-        shd = getattr(batch.signals, "sharding", None)
-        if (isinstance(shd, NamedSharding)
-                and "data" in shd.mesh.axis_names
-                and shd.mesh.devices.size > 1):
-            mesh = shd.mesh
+        mesh = batch.mesh
     ndata = int(mesh.shape["data"]) if mesh is not None else 1
 
     # nfft-aware chunk guard: grid f32 + spectrum c64 + fft scratch

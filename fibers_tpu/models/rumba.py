@@ -224,10 +224,10 @@ def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz, mesh=None,
             and shape3[1] * shape3[2] * 128 * 4 * 10 < 100 * 1024 * 1024):
         from ..ops.pallas.tv_stencil import tv_multiplier
 
-        pad = (-ncomp) % 128
+        pad = (-ncomp) % _TV_CHUNK
         fodf_p = jnp.pad(fodf.astype(dt), ((0, 1), (0, pad)))
         v = fodf_p[gidx].reshape(shape3 + (ncomp + pad,))
-        tv = tv_multiplier(v, lam)
+        tv = tv_multiplier(v, lam, cb=_TV_CHUNK)
         return tv.reshape(nxyz, ncomp + pad)[idx_back][:, :ncomp]
 
     pad = (-ncomp) % _TV_CHUNK
@@ -526,12 +526,7 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
 
     # Infer the mesh from a sharded prepared batch
     if mesh is None and batch is not None:
-        from jax.sharding import NamedSharding
-        shd = getattr(batch.signals, "sharding", None)
-        if (isinstance(shd, NamedSharding)
-                and "data" in shd.mesh.axis_names
-                and shd.mesh.devices.size > 1):
-            mesh = shd.mesh
+        mesh = batch.mesh
 
     from ..ops.transfer import to_device
     from ..utils.profiling import prof
@@ -607,8 +602,6 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             else:
                 print(f"WARNING: checkpoint {checkpoint_path} does not "
                       "match this problem; starting fresh")
-
-    from ..utils.profiling import prof
 
     # Iterate in fori_loop blocks of up to _BLOCK_ITERS per dispatch
     # (verbose mode steps singly to print per-iteration SNR like the

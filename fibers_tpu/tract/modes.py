@@ -231,8 +231,7 @@ def stream_lcm(ovecs, fs, mask_array, seed, lcms, cfg, nsub, ang_thresh,
     from .stream import _drive_wire, _pack_meta, _wire_mode
 
     nsteps = int(len_max) + 2
-    mode, qscale = _wire_mode(cfg, step_size)
-    emit = "points" if mode == "f32" else "deltas"
+    mode, emit, qscale = _wire_mode(cfg, step_size)
 
     starts = list(range(0, len(seeds_all), cfg.chunk))
     # per-chunk PRNG keys, fixed up front so the draw sequence does not
@@ -411,7 +410,7 @@ def stream_micro(ovecs, fs, mask_array, seed, cfg, nsub, ang_thresh,
     cosang_thresh = float(np.cos(np.radians(ang_thresh)))
     search_cosang = float(np.cos(np.radians(cfg.search_ang)))
 
-    mode, qscale = _wire_mode(cfg, step_size)
+    mode, emit, qscale = _wire_mode(cfg, step_size)
     if mode == "i8":
         # per-axis jump can reach search_dist + the tentative step
         if (nsub == 0
@@ -420,8 +419,8 @@ def stream_micro(ovecs, fs, mask_array, seed, cfg, nsub, ang_thresh,
             # integers: unit-quantum deltas are EXACT
             qscale = 1.0
         else:
-            mode = "f32"   # fractional seeds would quantize at 1 voxel
-    emit = "points" if mode == "f32" else "deltas"
+            mode, emit = "f32", "points"  # fractional seeds would
+            #                               quantize at 1 voxel
 
     # the windowed gather is W times heavier; shrink the chunk
     chunk = max(256, cfg.chunk // max(1, len(win_off) // 32))

@@ -444,7 +444,7 @@ def _wire_mode(cfg, step_size):
     """Resolve the point wire encoding: exact float32 positions on CPU
     (or on user opt-out); int8 error-feedback deltas on accelerators,
     where the device->host link is the bottleneck.  cfg.wire forces one
-    codec explicitly.  Returns (mode, qscale)."""
+    codec explicitly.  Returns (mode, emit, qscale)."""
     if cfg.wire not in ("auto", "f32", "i8"):
         raise ValueError(f"Unknown wire mode {cfg.wire!r} "
                          "(expected auto/f32/i8)")
@@ -453,8 +453,9 @@ def _wire_mode(cfg, step_size):
                          or jax.default_backend() == "cpu") else "i8"
     else:
         mode = "f32" if cfg.exact_points else cfg.wire
+    emit = "points" if mode == "f32" else "deltas"
     # full int8 range per step regardless of the configured step size
-    return mode, 127.0 / max(float(step_size), 1e-6)
+    return mode, emit, 127.0 / max(float(step_size), 1e-6)
 
 
 def _decode_scalars(raw, total):
@@ -944,8 +945,7 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
                 shape3, nsteps, float(step_size), cosang_thresh,
                 float(smooth_coeff), int(len_max), emit, qscale)
 
-    mode, qscale = _wire_mode(cfg, step_size)
-    emit = "points" if mode == "f32" else "deltas"
+    mode, emit, qscale = _wire_mode(cfg, step_size)
 
     # Empty seed set (e.g. a mask emptied by thresholds): empty Tract
     if len(seeds_all) == 0:
