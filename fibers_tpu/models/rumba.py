@@ -630,7 +630,8 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             if (checkpoint_path is not None and checkpoint_every > 0
                     and it % checkpoint_every == 0 and it < niter):
                 tmp = checkpoint_path + ".tmp.npz"
-                np.savez(tmp, fodf=np.asarray(fodf), sig2=np.asarray(sig2),
+                from ..ops.transfer import to_host
+                np.savez(tmp, fodf=to_host(fodf), sig2=to_host(sig2),
                          lam_flat=np.asarray(lam_flat), iteration=it,
                          nmask=nmask, ncomp=ncomp, niter=niter)
                 os.replace(tmp, checkpoint_path)
