@@ -67,22 +67,53 @@ def _get_hedge_pool():
 
 def _hedged_results(futs, chunks):
     """Consume fetch futures in order with a progress watchdog: a chunk
-    that stalls for _HEDGE_AFTER_S after its predecessor finished is
-    re-issued; the first completed copy wins."""
+    that stalls well past the pace of its predecessors is re-issued on a
+    spare thread, and the first SUCCESSFUL copy wins (a failure only
+    propagates once both copies have failed).
+
+    The first chunk gets a generous budget — it may legitimately sit
+    behind queued device compute (callers dispatch everything before
+    fetching).  Later chunks are paced by the slowest chunk seen so far,
+    so a uniformly slow link does not trigger routine hedging (which
+    would double traffic exactly when the wire is the bottleneck).
+    Hedges are capped per call: a true stall wedges its pool thread
+    until the RPC resolves, so unbounded hedging could drain the pool."""
     import concurrent.futures as cf
     import sys
+    import time
 
-    for f, c in zip(futs, chunks):
+    thr = _HEDGE_AFTER_S
+    hedges_left = 4
+    prev = time.monotonic()
+
+    for i, (f, c) in enumerate(zip(futs, chunks)):
+        budget = 600.0 if i == 0 else thr
         try:
-            yield f.result(timeout=_HEDGE_AFTER_S)
-            continue
+            part = f.result(timeout=budget)
         except cf.TimeoutError:
-            pass
-        sys.stderr.write("fibers_tpu.transfer: chunk fetch stalled "
-                         f">{_HEDGE_AFTER_S:.0f}s; hedging\n")
-        g = _get_hedge_pool().submit(np.asarray, c)
-        done, _ = cf.wait({f, g}, return_when=cf.FIRST_COMPLETED)
-        yield next(iter(done)).result()
+            if hedges_left == 0:
+                part = f.result()           # out of hedges: just wait
+            else:
+                hedges_left -= 1
+                sys.stderr.write("fibers_tpu.transfer: chunk fetch "
+                                 f"stalled >{budget:.0f}s; hedging\n")
+                pending = {f, _get_hedge_pool().submit(np.asarray, c)}
+                part = None
+                while part is None:
+                    done, pending = cf.wait(
+                        pending, return_when=cf.FIRST_COMPLETED)
+                    ok = [d for d in done if d.exception() is None]
+                    if ok:
+                        part = ok[0].result()
+                    elif not pending:       # both copies failed
+                        raise done.pop().exception()
+        now = time.monotonic()
+        if i > 0:
+            # pace off completed chunks; chunk 0's duration includes any
+            # queued device compute and would inflate the threshold
+            thr = max(thr, 3.0 * (now - prev))
+        prev = now
+        yield part
 
 
 # 2026-08-16 re-tune: 36 MB upload chunks collapse to <1 MB/s in bad

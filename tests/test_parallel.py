@@ -250,7 +250,9 @@ class TestMeshEdgeCases:
                                    atol=1e-6)
 
     def test_dsi_mesh_chunk_rounds_to_data_axis(self):
-        """The memory-guarded DSI chunk rounds to a data-axis multiple."""
+        """The memory-guarded DSI chunk rounds to a data-axis multiple —
+        on a NON-power-of-two data axis (6 devices), where the
+        power-of-two guard chunk is genuinely not divisible."""
         _require_devices(8)
         import fibers_tpu as ft
         from fibers_tpu.parallel.mesh import make_mesh
@@ -258,7 +260,7 @@ class TestMeshEdgeCases:
 
         dwi, mask, _, _ = make_phantom(shape=(4, 3, 3), ndir=40,
                                        bmax=4000.0, two_shell=True)
-        mesh = make_mesh(8)
+        mesh = make_mesh(6)
         batch = ft.prepare_batch(dwi, mask, mesh=mesh)
         # tiny memory budget forces the power-of-two guard path
         local = ft.dsi_rec(dwi, mask, ft.sphere_362, hann_width=8)
