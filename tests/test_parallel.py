@@ -287,3 +287,28 @@ class TestMeshEdgeCases:
         np.testing.assert_allclose(np.asarray(sharded.fodf.vol),
                                    np.asarray(local.fodf.vol),
                                    rtol=1e-4, atol=1e-6)
+
+    def test_stream_mesh_with_sink(self, tmp_path):
+        """Sharded propagation composes with the streaming .trk sink."""
+        _require_devices(8)
+        import fibers_tpu as ft
+        from fibers_tpu.parallel.mesh import make_mesh
+
+        shape = (10, 8, 6)
+        v = np.zeros(shape + (3,), np.float32)
+        v[..., 0] = 1.0
+        ov = ft.MRI(vol=v)
+        ov.vox2ras0 = np.eye(4, dtype=np.float32)
+        ov.volsize = np.asarray(shape)
+        ov.width, ov.height, ov.depth = shape
+        ov.nframes = 3
+        ov.set_geometry()
+
+        mem = ft.stream(ov, nsub=1)
+        out = str(tmp_path / "sharded.trk")
+        ft.stream(ov, nsub=1, mesh=make_mesh(8), trk_sink=out)
+        back = ft.trk_read(out)
+        assert back.n_count == mem.n_count
+        mem.materialize()
+        for i in range(0, mem.n_count, max(1, mem.n_count // 10)):
+            np.testing.assert_allclose(back.xyz[i], mem.xyz[i], atol=1e-4)
