@@ -208,7 +208,16 @@ def to_host(x, n_lead=None) -> np.ndarray:
     out_shape = shape if n_lead is None else (min(int(n_lead), shape[0]),) \
         + shape[1:]
 
-    elems = max(1, _CHUNK_BYTES // max(1, x.dtype.itemsize))
+    # Split across the whole pool even for mid-size buffers (a 20 MB
+    # fetch as 1-2 chunks leaves most threads idle on a link whose
+    # per-stream throughput is the bottleneck), with a 1 MB floor so
+    # small fetches don't fragment into per-RPC overhead.  The chunk
+    # size derives from the buffer's (bucketed) full size, NOT n_lead,
+    # preserving the shape-stable slice-program invariant below.
+    itemsize = max(1, x.dtype.itemsize)
+    chunk_bytes = min(_CHUNK_BYTES,
+                      max(1 << 20, -(-(n * itemsize) // _THREADS)))
+    elems = max(1, chunk_bytes // itemsize)
     if n <= elems:
         return np.asarray(flat)[:n_need].reshape(out_shape)
 
