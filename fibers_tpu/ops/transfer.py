@@ -65,13 +65,14 @@ def _get_hedge_pool():
     return _hedge_pool
 
 
-def _hedged_results(futs, chunks):
+def _hedged_results(futs, items, resubmit=np.asarray,
+                    first_budget=600.0):
     """Consume fetch futures in order with a progress watchdog: a chunk
     that stalls well past the pace of its predecessors is re-issued on a
-    spare thread, and the first SUCCESSFUL copy wins (a failure only
-    propagates once both copies have failed).
+    spare thread (`resubmit(item)`), and the first SUCCESSFUL copy wins
+    (a failure only propagates once both copies have failed).
 
-    The first chunk gets a generous budget — it may legitimately sit
+    The first chunk gets `first_budget` — it may legitimately sit
     behind queued device compute (callers dispatch everything before
     fetching).  Later chunks are paced by the slowest chunk seen so far,
     so a uniformly slow link does not trigger routine hedging (which
@@ -86,8 +87,8 @@ def _hedged_results(futs, chunks):
     hedges_left = 4
     prev = time.monotonic()
 
-    for i, (f, c) in enumerate(zip(futs, chunks)):
-        budget = 600.0 if i == 0 else thr
+    for i, (f, c) in enumerate(zip(futs, items)):
+        budget = first_budget if i == 0 else thr
         try:
             part = f.result(timeout=budget)
         except cf.TimeoutError:
@@ -97,7 +98,7 @@ def _hedged_results(futs, chunks):
                 hedges_left -= 1
                 sys.stderr.write("fibers_tpu.transfer: chunk fetch "
                                  f"stalled >{budget:.0f}s; hedging\n")
-                pending = {f, _get_hedge_pool().submit(np.asarray, c)}
+                pending = {f, _get_hedge_pool().submit(resubmit, c)}
                 part = None
                 while part is None:
                     done, pending = cf.wait(
@@ -148,9 +149,12 @@ def to_device_rows(producer, n_rows: int, row_bytes: int):
     def slab(lo, hi):
         return jax.device_put(producer(lo, hi))
 
-    futs = [_get_upool().submit(slab, lo, min(lo + rows, n_rows))
-            for lo in range(0, n_rows, rows)]
-    parts = [f.result() for f in futs]
+    spans = [(lo, min(lo + rows, n_rows))
+             for lo in range(0, n_rows, rows)]
+    futs = [_get_upool().submit(slab, lo, hi) for lo, hi in spans]
+    parts = list(_hedged_results(
+        futs, spans, resubmit=lambda s: slab(*s),
+        first_budget=4 * _HEDGE_AFTER_S))
     return jnp.concatenate(parts, axis=0)
 
 
@@ -169,7 +173,9 @@ def to_device(arr: np.ndarray):
     if rows >= n:
         return jnp.asarray(arr)
     parts = [arr[i:min(i + rows, n)] for i in range(0, n, rows)]
-    devs = list(_get_upool().map(jax.device_put, parts))
+    futs = [_get_upool().submit(jax.device_put, p) for p in parts]
+    devs = list(_hedged_results(futs, parts, resubmit=jax.device_put,
+                                first_budget=4 * _HEDGE_AFTER_S))
     return jnp.concatenate(devs, axis=0)
 
 
