@@ -145,11 +145,8 @@ def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False):
     nmask = int(mask.sum())
 
     t0 = time.time()
-    # prepared batch: chunked gather/upload overlap + on-device b0
-    # normalization (the host signal path gathers 2x1.25 GB on one core)
-    batch = ft.prepare_batch(dwi, maskm)
     rum = ft.rumba_rec(dwi, maskm, ft.sphere_724, niter=niter,
-                       tv_bf16=tv_bf16, batch=batch)
+                       tv_bf16=tv_bf16)
     np.asarray(rum.peak[0].vol)   # materialize peaks; fodf stays lazy
     t_rumba = time.time() - t0
     sys.stderr.write(f"rumba_rec {niter} iters: {t_rumba:.1f}s "
