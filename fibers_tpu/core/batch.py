@@ -41,13 +41,74 @@ class VoxelBatch:
         return None
 
 
-def prepare_batch(dwi, mask, mesh=None) -> VoxelBatch:
+def _resolve_wire(flat: np.ndarray, wire: str):
+    """Pick the host->device wire encoding for a gathered signal matrix.
+
+    Returns (quantize: bool, scale: float).  "u16" forces uint16
+    quantization (negative inputs clip to 0); "f32" forces the exact
+    wire; "auto" quantizes on accelerator backends when the data is
+    non-negative and finite — DWI magnitudes are (scanners record int16
+    DICOM), and the device<->host wire is the e2e bottleneck there
+    (BASELINE.md: the 566 MB float32 upload dominates the fit stage).
+    """
+    import jax
+
+    from ..ops.transfer import quant_u16_scale
+
+    if wire not in ("auto", "u16", "f32"):
+        raise ValueError(f"Unknown batch wire {wire!r} "
+                         "(expected auto/u16/f32)")
+    if wire == "f32" or flat.size == 0:
+        return False, 0.0
+    if wire == "auto" and jax.default_backend() == "cpu":
+        return False, 0.0
+    # cheap host scan: max is memory-bound, ~0.1 s for the HCP volume
+    vmax = float(flat.max())
+    vmin = float(flat.min())
+    if wire == "u16":
+        scale = quant_u16_scale(vmax, 0.0)   # negatives clip to 0
+        if scale == 0.0:
+            raise ValueError(
+                "wire='u16' needs a finite positive signal maximum "
+                f"(got max={vmax})")
+        return True, scale
+    scale = quant_u16_scale(vmax, vmin)
+    return scale > 0.0, scale
+
+
+def _quantize_rows(part: np.ndarray, scale: float) -> np.ndarray:
+    """round(v/scale) as uint16 (clipping negatives/overflow)."""
+    q = part * np.float32(1.0 / scale)
+    np.clip(q, 0.0, 65535.0, out=q)
+    return (q + 0.5).astype(np.uint16)      # round-half-up, cheaper
+
+
+def _dequant(dev, scale: float):
+    """Device-side dequantization to the float32 batch fits consume.
+    One fused elementwise pass at HBM bandwidth; preserves sharding."""
+    import jax
+
+    @jax.jit
+    def dq(x):
+        return x.astype(jnp.float32) * jnp.float32(scale)
+
+    return dq(dev)
+
+
+def prepare_batch(dwi, mask, mesh=None, wire: str = "auto") -> VoxelBatch:
     """Gather the masked voxel signals and place them on device once.
 
     With `mesh` (a jax.sharding.Mesh, e.g. from parallel.mesh.make_mesh),
     the batch is sharded over the mesh's "data" axis — every fit that
     consumes it then runs data-parallel across chips, with XLA GSPMD
     inserting the few global-reduction collectives (SURVEY.md §5.8).
+
+    `wire` controls the host->device encoding: "auto" (default) uploads
+    uint16-quantized rows on accelerator backends (halving the dominant
+    wire stage; error <= max/131070, below fit noise — see
+    ops.transfer.quant_u16_scale) and exact float32 on CPU; "u16"/"f32"
+    force one encoding.  The device-resident batch is always float32 —
+    dequantization happens once on device.
     """
     from ..utils.profiling import prof
 
@@ -59,37 +120,49 @@ def prepare_batch(dwi, mask, mesh=None) -> VoxelBatch:
         from ..parallel.mesh import pad_to_multiple
         n_pad = pad_to_multiple(n_pad, mesh.shape["data"])
 
+    vol = np.asarray(dwi.vol)
+    if vol.ndim == 3:
+        vol = vol[..., None]
+    flat = vol.reshape(-1, vol.shape[3])
+    nvol = flat.shape[1]
+    quantize, scale = _resolve_wire(flat, wire)
+
     if mesh is not None:
         with prof("batch.gather"):
-            signals = gather_frames(dwi.vol, idx).astype(np.float32)
+            signals = gather_frames(dwi.vol, idx)
+            if quantize:
+                signals = _quantize_rows(
+                    signals.astype(np.float32, copy=False), scale)
+            else:
+                signals = signals.astype(np.float32)
             signals = pad_rows(signals, n_pad)
         with prof("batch.upload"):
-            from ..parallel.mesh import batch_sharding
             from ..ops.transfer import sync
+            from ..parallel.mesh import batch_sharding
             dev = jax.device_put(signals, batch_sharding(mesh))
+            if quantize:
+                dev = _dequant(dev, scale)
             sync(dev)
         return VoxelBatch(idx=idx, signals=dev, n=len(idx))
 
-    # Single-device: pipeline the host-side mask gather with chunked
-    # uploads — each slab is gathered and put on device from a pool
-    # thread, so gather CPU time hides under upload wire time.
+    # Single-device: pipeline the host-side mask gather (and optional
+    # quantization) with chunked uploads — each slab is produced and put
+    # on device from a pool thread, so host CPU work hides under upload
+    # wire time.
     with prof("batch.gather_upload"):
-        from ..ops.transfer import to_device_rows
-
-        vol = np.asarray(dwi.vol)
-        if vol.ndim == 3:
-            vol = vol[..., None]
-        flat = vol.reshape(-1, vol.shape[3])
-        nvol = flat.shape[1]
+        from ..ops.transfer import sync, to_device_rows
 
         def produce(lo, hi):
             take = idx[lo:min(hi, len(idx))]
             part = flat[take].astype(np.float32)
+            if quantize:
+                part = _quantize_rows(part, scale)
             if hi > len(idx):
                 part = pad_rows(part, hi - lo)
             return part
 
-        dev = to_device_rows(produce, n_pad, nvol * 4)
-        from ..ops.transfer import sync
+        dev = to_device_rows(produce, n_pad, nvol * (2 if quantize else 4))
+        if quantize:
+            dev = _dequant(dev, scale)
         sync(dev)
     return VoxelBatch(idx=idx, signals=dev, n=len(idx))

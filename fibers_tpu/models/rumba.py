@@ -216,12 +216,14 @@ def _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz, mesh=None,
 
     # Fused Pallas kernel on TPU: one pass per x-slice with the running
     # divergence state in VMEM — 5.3x the XLA stencil (34.5 ms vs 183 ms
-    # per HCP-scale iteration), bit-exact.  VMEM guard: ~10 live
-    # [Y, Z, 128] f32 buffers must fit the raised 100 MB budget.
-    from ..ops.pallas.tv_stencil import tv_available
+    # per HCP-scale iteration), bit-exact.  VMEM guard: the kernel's live
+    # [Y, Z, _TV_CHUNK] f32 buffers must fit the Mosaic budget.
+    from ..ops.pallas.tv_stencil import (TV_LIVE_BUFFERS, TV_VMEM_BUDGET,
+                                         tv_available)
 
     if (use_pallas and tv_available()
-            and shape3[1] * shape3[2] * 128 * 4 * 10 < 100 * 1024 * 1024):
+            and shape3[1] * shape3[2] * _TV_CHUNK * 4 * TV_LIVE_BUFFERS
+            < TV_VMEM_BUDGET):
         from ..ops.pallas.tv_stencil import tv_multiplier
 
         pad = (-ncomp) % _TV_CHUNK
@@ -433,7 +435,8 @@ def _tv_bbox(idx, shape3):
     reads lives within the halo, and cells at the halo edge reproduce the
     full-volume values (their neighbors there are all out-of-mask zeros,
     matching the clamped-edge stencil).  Returns (tv_shape3, tv_nxyz,
-    idx_tv) with idx_tv the mask voxels' flat indices within the crop."""
+    idx_tv, lo) with idx_tv the mask voxels' flat indices within the
+    crop and lo the crop origin in full-volume coordinates."""
     xyz = np.unravel_index(idx, shape3)
     lo = [max(int(c.min()) - 1, 0) if len(c) else 0 for c in xyz]
     hi = [min(int(c.max()) + 2, s) if len(c) else s
@@ -442,7 +445,7 @@ def _tv_bbox(idx, shape3):
     tv_nxyz = int(np.prod(tv_shape3))
     idx_tv = (((xyz[0] - lo[0]) * tv_shape3[1] + (xyz[1] - lo[1]))
               * tv_shape3[2] + (xyz[2] - lo[2])).astype(np.int64)
-    return tv_shape3, tv_nxyz, idx_tv
+    return tv_shape3, tv_nxyz, idx_tv, tuple(lo)
 
 
 @jax.jit
@@ -522,13 +525,13 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     # TV runs on the mask bounding box + halo, not the full volume: at
     # HCP scale ~45% of the volume is air the reference's full-grid
     # stencils (src/rusd.jl:282-296) recompute every iteration.
-    tv_shape3, tv_nxyz, idx_tv = _tv_bbox(idx, shape3)
+    tv_shape3, tv_nxyz, idx_tv, tv_lo = _tv_bbox(idx, shape3)
 
     # Infer the mesh from a sharded prepared batch
     if mesh is None and batch is not None:
         mesh = batch.mesh
 
-    from ..ops.transfer import to_device
+    from ..ops.transfer import to_device_rows
     from ..utils.profiling import prof
 
     # Signal matrix: average b0 first, then DWIs, normalized by b0
@@ -543,16 +546,37 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         else:
             vol = np.asarray(dwi.vol)
             flat = vol.reshape(-1, vol.shape[3])
-            b0_mean = np.maximum(flat[idx][:, ib0], 0).mean(axis=1)
-            dwis = np.maximum(flat[idx][:, ~ib0], 0)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                dwis = dwis / b0_mean[:, None]
-            dwis[~np.isfinite(dwis)] = 0
-            signal = np.concatenate(
-                [(b0_mean > 0).astype(np.float32)[:, None],
-                 dwis.astype(np.float32)], axis=1)
-            signal = np.minimum(signal, 1.0)
-            signal_j = to_device(signal)
+            # The normalized signal is clipped to [0, 1]: on accelerator
+            # backends it rides the wire as uint16 (scale 1/65535, abs
+            # error <= 7.7e-6 — below the fit's own float32 noise) at
+            # half the bytes of float32; the per-slab producer overlaps
+            # the host gather/normalize/quantize with the upload.
+            quantize = jax.default_backend() != "cpu"
+
+            def produce(lo, hi):
+                rows = flat[idx[lo:min(hi, nmask)]]
+                b0_mean = np.maximum(rows[:, ib0], 0).mean(axis=1)
+                dwis = np.maximum(rows[:, ~ib0], 0).astype(np.float32)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    dwis /= b0_mean[:, None].astype(np.float32)
+                dwis[~np.isfinite(dwis)] = 0
+                np.clip(dwis, 0.0, 1.0, out=dwis)
+                sig = np.concatenate(
+                    [(b0_mean > 0).astype(np.float32)[:, None], dwis],
+                    axis=1)
+                if quantize:
+                    sig = (sig * np.float32(65535.0)
+                           + np.float32(0.5)).astype(np.uint16)
+                return sig
+
+            ncol = 1 + int((~ib0).sum())
+            dev = to_device_rows(produce, nmask,
+                                 ncol * (2 if quantize else 4))
+            if quantize:
+                from ..core.batch import _dequant
+                signal_j = _dequant(dev, 1.0 / 65535.0)
+            else:
+                signal_j = dev
             n_rows = nmask
 
     nbr, nbr_ok = _angular_neighbors(odf_dirs)
@@ -584,24 +608,61 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     it_start = 0
     if checkpoint_path is not None and os.path.isfile(checkpoint_path):
         with np.load(checkpoint_path) as ck:
-            # match on the problem (voxels, components, TV grid); `niter`
-            # may differ — resuming into a longer run is the point
-            if (int(ck["nmask"]) == nmask and int(ck["ncomp"]) == ncomp
-                    and ck["lam_flat"].size == tv_nxyz
-                    and ck["fodf"].shape[0] == n_rows
-                    and int(ck["iteration"]) <= niter):
-                fodf = place(jnp.asarray(ck["fodf"]))
-                sig2 = place(jnp.asarray(ck["sig2"]))
-                lam_flat = jnp.asarray(ck["lam_flat"])
-                dodf = jnp.dot(fodf, kernel_j.T,
-                               precision=jax.lax.Precision.HIGHEST)
-                dodf_sig = (signal_j * dodf) / sig2
-                it_start = int(ck["iteration"])
-                print(f"Resuming RUMBA-SD from iteration {it_start} "
-                      f"({checkpoint_path})")
-            else:
-                print(f"WARNING: checkpoint {checkpoint_path} does not "
-                      "match this problem; starting fresh")
+            # match on the problem identity (voxels, components); `niter`
+            # may differ — resuming into a longer run is the point.  A
+            # true identity mismatch raises: silently discarding an
+            # hour-scale fit's progress is worse than making the caller
+            # delete a stale file.
+            if (int(ck["nmask"]) != nmask or int(ck["ncomp"]) != ncomp
+                    or int(ck["iteration"]) > niter):
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} does not match this "
+                    f"problem (checkpoint nmask={int(ck['nmask'])} "
+                    f"ncomp={int(ck['ncomp'])} "
+                    f"iteration={int(ck['iteration'])}; expected "
+                    f"nmask={nmask} ncomp={ncomp} niter>="
+                    f"{int(ck['iteration'])}).  Delete the file to start "
+                    "fresh.")
+            # Layout differences are remapped, not discarded: fodf row
+            # padding depends on batch/mesh (real rows are the first
+            # nmask), and pre-v2 checkpoints stored lam_flat on the full
+            # volume instead of the TV crop.
+            fodf_h = np.asarray(ck["fodf"])[:nmask]
+            sig2_h = np.asarray(ck["sig2"])[:nmask]
+            if fodf_h.shape[0] < nmask:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} has fewer rows "
+                    f"({fodf_h.shape[0]}) than masked voxels ({nmask})")
+            pad = n_rows - nmask
+            if pad:
+                fodf_h = np.pad(fodf_h, ((0, pad), (0, 0)))
+                sig2_h = np.concatenate(
+                    [sig2_h, np.full((pad, 1), lam0, np.float32)])
+            lam_h = np.asarray(ck["lam_flat"]).reshape(-1)
+            if lam_h.size != tv_nxyz:
+                if lam_h.size == int(np.prod(shape3)):
+                    # legacy full-volume grid: slice the crop bbox out
+                    sl = tuple(slice(l, l + s)
+                               for l, s in zip(tv_lo, tv_shape3))
+                    lam_h = lam_h.reshape(shape3)[sl].reshape(-1)
+                elif np.ptp(lam_h) == 0:
+                    # spatially constant (the ipat_factor==1 update)
+                    lam_h = np.full(tv_nxyz, lam_h.flat[0], np.float32)
+                else:
+                    raise ValueError(
+                        f"checkpoint {checkpoint_path} lam_flat size "
+                        f"{lam_h.size} matches neither the TV crop "
+                        f"({tv_nxyz}) nor the full volume "
+                        f"({int(np.prod(shape3))})")
+            fodf = place(jnp.asarray(fodf_h))
+            sig2 = place(jnp.asarray(sig2_h))
+            lam_flat = jnp.asarray(lam_h.astype(np.float32))
+            dodf = jnp.dot(fodf, kernel_j.T,
+                           precision=jax.lax.Precision.HIGHEST)
+            dodf_sig = (signal_j * dodf) / sig2
+            it_start = int(ck["iteration"])
+            print(f"Resuming RUMBA-SD from iteration {it_start} "
+                  f"({checkpoint_path})")
 
     # Iterate in fori_loop blocks of up to _BLOCK_ITERS per dispatch
     # (verbose mode steps singly to print per-iteration SNR like the
@@ -633,7 +694,10 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                 from ..ops.transfer import to_host
                 np.savez(tmp, fodf=to_host(fodf), sig2=to_host(sig2),
                          lam_flat=np.asarray(lam_flat), iteration=it,
-                         nmask=nmask, ncomp=ncomp, niter=niter)
+                         nmask=nmask, ncomp=ncomp, niter=niter,
+                         version=2, n_rows=n_rows,
+                         tv_lo=np.asarray(tv_lo),
+                         tv_shape3=np.asarray(tv_shape3))
                 os.replace(tmp, checkpoint_path)
 
     # SNR summary as two on-device scalars: a host fetch of the [N, 1]

@@ -27,7 +27,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["tv_multiplier", "tv_available"]
+__all__ = ["tv_multiplier", "tv_available", "TV_VMEM_BUDGET",
+           "TV_LIVE_BUFFERS"]
+
+# Mosaic VMEM budget the kernel compiles under, and the number of
+# [Y, Z, cb] f32 buffers live at once inside one grid step (center +
+# x+1 views, three gradients, three normalized gradients, the scratch
+# slice, and the output — callers size their component chunk so
+# Y*Z*cb*4*TV_LIVE_BUFFERS stays below TV_VMEM_BUDGET).
+TV_VMEM_BUDGET = 100 * 1024 * 1024
+TV_LIVE_BUFFERS = 10
 
 
 def _tv_kernel(v_ref, vn_ref, lam_ref, out_ref, prev_gxn_ref):
@@ -90,7 +99,7 @@ def tv_multiplier(vol4, lam3, cb=128, interpret=False):
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+            vmem_limit_bytes=TV_VMEM_BUDGET)
 
     return pl.pallas_call(
         _tv_kernel,

@@ -14,7 +14,24 @@ from concurrent.futures import ThreadPoolExecutor
 import jax
 import numpy as np
 
-__all__ = ["to_host", "to_device", "to_device_rows", "sync"]
+__all__ = ["to_host", "to_device", "to_device_rows", "sync",
+           "quant_u16_scale"]
+
+
+def quant_u16_scale(arr_max, arr_min=0.0) -> float:
+    """Global uint16 quantization scale for a non-negative host array
+    with the given max, or 0.0 when quantization is unsafe (negative
+    values, non-finite range, empty).
+
+    The wire format is round(v / scale) as uint16 with v' = u * scale on
+    device; absolute error <= scale/2 = max/131070, i.e. relative error
+    <= 0.5/65535 at full scale — below float32 GEMM noise for the fits,
+    and exactly the dynamic range scanners record DWIs at (int16 DICOM).
+    """
+    m = float(arr_max)
+    if not np.isfinite(m) or m <= 0 or float(arr_min) < 0:
+        return 0.0
+    return m / 65535.0
 
 
 def sync(x):
@@ -58,11 +75,49 @@ def _get_pool():
     return _pool
 
 
-def _get_hedge_pool():
-    global _hedge_pool
+def _reset_hedge_state():
+    """Test hook: forget wedged-hedge bookkeeping."""
+    global _hedge_pool, _hedge_pools_made
+    _hedge_pool = None
+    _hedge_pools_made = 0
+    _hedge_inflight.clear()
+
+
+# A hedge thread that picks up a truly wedged RPC never returns, which
+# would permanently consume its pool slot; track in-flight hedge futures
+# and replace the pool when every slot is wedged so hedging keeps
+# working for the rest of the process (old threads are daemonized by
+# never being joined; a capped number of pools bounds thread growth).
+_HEDGE_POOL_SIZE = 4
+_MAX_HEDGE_POOLS = 4
+_hedge_inflight = []
+_hedge_pools_made = 0
+
+
+def _hedge_submit(fn, *args):
+    global _hedge_pool, _hedge_pools_made
+    import sys
+
+    _hedge_inflight[:] = [f for f in _hedge_inflight if not f.done()]
     if _hedge_pool is None:
-        _hedge_pool = ThreadPoolExecutor(4)
-    return _hedge_pool
+        _hedge_pool = ThreadPoolExecutor(_HEDGE_POOL_SIZE)
+        _hedge_pools_made = 1
+    elif len(_hedge_inflight) >= _HEDGE_POOL_SIZE:
+        if _hedge_pools_made < _MAX_HEDGE_POOLS:
+            sys.stderr.write(
+                "fibers_tpu.transfer: all hedge threads wedged on stalled "
+                "RPCs; starting a fresh hedge pool\n")
+            _hedge_pool = ThreadPoolExecutor(_HEDGE_POOL_SIZE)
+            _hedge_pools_made += 1
+            _hedge_inflight.clear()
+        else:
+            sys.stderr.write(
+                "fibers_tpu.transfer: hedge pool exhausted "
+                f"({_MAX_HEDGE_POOLS} pools wedged); hedging degrades to "
+                "a plain wait\n")
+    fut = _hedge_pool.submit(fn, *args)
+    _hedge_inflight.append(fut)
+    return fut
 
 
 def _hedged_results(futs, items, resubmit=np.asarray,
@@ -98,7 +153,7 @@ def _hedged_results(futs, items, resubmit=np.asarray,
                 hedges_left -= 1
                 sys.stderr.write("fibers_tpu.transfer: chunk fetch "
                                  f"stalled >{budget:.0f}s; hedging\n")
-                pending = {f, _get_hedge_pool().submit(resubmit, c)}
+                pending = {f, _hedge_submit(resubmit, c)}
                 part = None
                 while part is None:
                     done, pending = cf.wait(
@@ -139,7 +194,14 @@ def to_device_rows(producer, n_rows: int, row_bytes: int):
     `producer(lo, hi)` must return the host rows [lo, hi) as a numpy
     array; slabs are produced and device_put on the upload pool so host
     gather work overlaps upload wire time.  Returns the concatenated
-    device array of n_rows rows."""
+    device array of n_rows rows.
+
+    `producer` MUST be pure and safe to call twice concurrently for the
+    same span: stalled uploads are hedged — a slab that makes no
+    progress is re-produced and re-uploaded on a spare thread while the
+    original call may still be executing, and whichever copy finishes
+    first wins.  A stateful producer (e.g. one consuming a stream)
+    would corrupt the batch."""
     import jax.numpy as jnp
 
     rows = max(1, _UP_CHUNK_BYTES // max(1, row_bytes))

@@ -419,8 +419,17 @@ def stream_micro(ovecs, fs, mask_array, seed, cfg, nsub, ang_thresh,
             # integers: unit-quantum deltas are EXACT
             qscale = 1.0
         else:
-            mode, emit = "f32", "points"  # fractional seeds would
-            #                               quantize at 1 voxel
+            # fractional seeds would quantize at 1 voxel; cone-search
+            # jumps can also exceed the int8 delta range
+            if cfg.wire == "i8":
+                import warnings
+                warnings.warn(
+                    "stream_micro: wire='i8' cannot represent this "
+                    f"configuration (nsub={nsub}, "
+                    f"search_dist={cfg.search_dist}, "
+                    f"step_size={step_size}); using exact f32 points "
+                    "instead", RuntimeWarning, stacklevel=2)
+            mode, emit = "f32", "points"
 
     # the windowed gather is W times heavier; shrink the chunk
     chunk = max(256, cfg.chunk // max(1, len(win_off) // 32))

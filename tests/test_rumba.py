@@ -149,17 +149,53 @@ class TestCheckpoint:
                                checkpoint_path=ck2)
         assert np.abs(resumed.fodf.vol - full.fodf.vol).max() < 1e-6
 
-    def test_mismatched_checkpoint_ignored(self, tmp_path):
+    def test_mismatched_checkpoint_raises(self, tmp_path):
+        """A checkpoint from a different problem fails LOUDLY instead of
+        silently discarding an hour-scale fit's progress."""
         import numpy as np
+        import pytest
         from phantom import make_phantom
         dwi, mask, _, _ = make_phantom(shape=(3, 3, 3), ndir=30)
         ck = str(tmp_path / "bad.npz")
         np.savez(ck, fodf=np.zeros((5, 5)), sig2=np.zeros((5, 1)),
                  lam_flat=np.zeros(27), iteration=3, nmask=5, ncomp=5,
                  niter=4)
-        rec = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4,
-                           checkpoint_path=ck)
-        assert np.isfinite(rec.fodf.vol).all()
+        with pytest.raises(ValueError, match="does not match"):
+            ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4,
+                         checkpoint_path=ck)
+
+    def test_legacy_fullvolume_lam_remapped(self, tmp_path):
+        """Pre-v2 checkpoints stored lam_flat on the full volume; resume
+        remaps it onto the TV crop instead of discarding progress."""
+        import numpy as np
+        from phantom import make_phantom
+        dwi, mask, _, _ = make_phantom(shape=(3, 3, 3), ndir=30)
+        full = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=16)
+
+        ck = str(tmp_path / "rumba.ckpt.npz")
+        ft.rumba_rec(dwi, mask, ft.sphere_362, niter=8,
+                     checkpoint_path=ck, checkpoint_every=4)
+        with np.load(ck) as z:
+            state = dict(z)
+        # rewrite as a legacy checkpoint: full-volume lam grid (here the
+        # crop IS the full volume, so embed in the identical layout but
+        # drop the v2 metadata), and stale n_rows/version keys absent
+        shape3 = mask.vol.shape[:3]
+        lam_full = np.zeros(int(np.prod(shape3)), np.float32)
+        lo, sh = state["tv_lo"], state["tv_shape3"]
+        grid = np.zeros(shape3, np.float32)
+        grid[tuple(slice(l, l + s) for l, s in zip(lo, sh))] = \
+            state["lam_flat"].reshape(sh)
+        lam_full = grid.reshape(-1)
+        legacy = {k: state[k] for k in
+                  ("fodf", "sig2", "iteration", "nmask", "ncomp")}
+        legacy["lam_flat"] = lam_full
+        legacy["niter"] = 16
+        ck2 = str(tmp_path / "legacy.ckpt.npz")
+        np.savez(ck2, **legacy)
+        resumed = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=16,
+                               checkpoint_path=ck2)
+        assert np.abs(resumed.fodf.vol - full.fodf.vol).max() < 1e-6
 
 
 class TestTVBboxCrop:

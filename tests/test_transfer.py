@@ -75,3 +75,62 @@ def test_prepare_batch_pipelined_matches_gather(rng, monkeypatch):
     got = np.asarray(batch.signals)
     np.testing.assert_array_equal(got[:len(idx)], ref)
     np.testing.assert_array_equal(got[len(idx):], 0.0)
+
+
+class TestQuantizedBatchWire:
+    """uint16 host->device wire for prepared batches (halves the
+    dominant e2e upload; BASELINE.md) — forced on CPU so parity is
+    CI-checkable without the TPU."""
+
+    def test_u16_batch_error_bound(self):
+        from phantom import make_phantom
+        import fibers_tpu as ft
+
+        dwi, mask, _, _ = make_phantom(shape=(8, 8, 6), ndir=30)
+        b_f32 = ft.prepare_batch(dwi, mask, wire="f32")
+        b_u16 = ft.prepare_batch(dwi, mask, wire="u16")
+        assert b_u16.signals.dtype == jnp.float32
+        scale = float(np.asarray(dwi.vol).max()) / 65535.0
+        err = np.abs(np.asarray(b_u16.signals)
+                     - np.asarray(b_f32.signals)).max()
+        assert err <= 0.51 * scale + 1e-6
+
+    def test_u16_fit_parity(self):
+        from phantom import make_phantom
+        import fibers_tpu as ft
+
+        dwi, mask, _, _ = make_phantom(shape=(8, 8, 6), ndir=30)
+        b_f32 = ft.prepare_batch(dwi, mask, wire="f32")
+        b_u16 = ft.prepare_batch(dwi, mask, wire="u16")
+
+        dti_f = ft.dti_fit(dwi, mask, batch=b_f32)
+        dti_q = ft.dti_fit(dwi, mask, batch=b_u16)
+        np.testing.assert_allclose(dti_q.fa.vol, dti_f.fa.vol, atol=1e-3)
+        np.testing.assert_allclose(dti_q.md.vol, dti_f.md.vol,
+                                   rtol=1e-3, atol=1e-9)
+
+        gqi_f = ft.gqi_rec(dwi, mask, ft.sphere_362, batch=b_f32)
+        gqi_q = ft.gqi_rec(dwi, mask, ft.sphere_362, batch=b_u16)
+        np.testing.assert_allclose(np.asarray(gqi_q.odf.vol),
+                                   np.asarray(gqi_f.odf.vol),
+                                   rtol=1e-3, atol=1e-5)
+
+    def test_auto_wire_is_exact_on_cpu(self):
+        from phantom import make_phantom
+        import fibers_tpu as ft
+
+        dwi, mask, _, _ = make_phantom(shape=(6, 6, 4), ndir=12)
+        b_auto = ft.prepare_batch(dwi, mask)          # auto -> f32 on CPU
+        b_f32 = ft.prepare_batch(dwi, mask, wire="f32")
+        np.testing.assert_array_equal(np.asarray(b_auto.signals),
+                                      np.asarray(b_f32.signals))
+
+    def test_u16_rejects_unquantizable(self):
+        import pytest
+        from phantom import make_phantom
+        import fibers_tpu as ft
+
+        dwi, mask, _, _ = make_phantom(shape=(6, 6, 4), ndir=12)
+        dwi.vol = np.zeros_like(np.asarray(dwi.vol))   # max == 0
+        with pytest.raises(ValueError, match="u16"):
+            ft.prepare_batch(dwi, mask, wire="u16")
