@@ -121,3 +121,12 @@ def tv_multiplier(vol4, lam3, cb=128, interpret=False):
 def tv_available():
     """Whether the fused kernel can run on the current default backend."""
     return jax.default_backend() == "tpu"
+
+
+def interpret_forced():
+    """Whether FIBERS_TV_INTERPRET=1 asks for the Pallas kernel in
+    interpret mode — the CPU-mesh test hook for the shard_map TV path
+    (the real Mosaic kernel needs a TPU)."""
+    import os
+
+    return os.environ.get("FIBERS_TV_INTERPRET") == "1"

@@ -40,7 +40,7 @@ def build_constants(bval, bvec, odf_dirs):
 def full_recon_step(signals, rumba_signal, fodf, sig2, lam_flat, tv_idx,
                     seeds, seed_vecs, mask_flat, ovecs_flat, A_dti, ib0,
                     A_gqi, kernel, verts_first, nbr, nbr_ok, shape3,
-                    tv_shape3):
+                    tv_shape3, mesh=None):
     """One step of every compute path.  All leading axes are batch axes
     and shard across the mesh's data axis; the nvert/ncomp axes of the
     GEMM operands shard across the model axis.
@@ -49,10 +49,10 @@ def full_recon_step(signals, rumba_signal, fodf, sig2, lam_flat, tv_idx,
     per-component difference stencils over the (bbox-cropped) TV grid —
     the one term whose gathers cross the batch sharding, included here so
     the multi-chip dry run proves it compiles and executes under GSPMD
-    (reference: src/rusd.jl:183-235, 282-296).  The TV term runs on the
-    XLA stencil path (use_pallas=False): a Mosaic kernel has no GSPMD
-    partitioning rule, so the fused Pallas stencil cannot sit inside
-    this mesh-sharded jit.
+    (reference: src/rusd.jl:183-235, 282-296).  With `mesh`, the TV
+    stencil reshards over the component axis and runs per-device inside
+    a shard_map — the path that lets the fused Pallas TV kernel (no
+    GSPMD partitioning rule of its own) serve pod-scale RUMBA.
 
     Returns (fa, odf, peaks, qa, fodf', sig2', lam', points, npts) —
     enough outputs to keep every path live under jit.  Feed fodf'/sig2'/
@@ -85,7 +85,7 @@ def full_recon_step(signals, rumba_signal, fodf, sig2, lam_flat, tv_idx,
     tv_nxyz = int(np.prod(tv_shape3))
     gidx = _gather_index(tv_idx, fodf.shape[0], tv_nxyz)
     tv = _tv_term(fodf, gidx, tv_idx, lam_flat, tv_shape3, tv_nxyz,
-                  use_pallas=False)
+                  mesh=mesh, use_pallas=mesh is not None)
     fodf_new = jnp.maximum(fodf * rl * tv, 0.0)
     resid = ((rumba_signal ** 2 + dodf ** 2) / 2
              - (sig2 * dodf_sig) * iratio)
