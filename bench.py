@@ -161,11 +161,16 @@ def main():
         # and file writes overlap the device point fetches.  tmpfs when
         # available so the metric reflects the framework, not the VM
         # disk's (highly variable) write-back throughput.
+        # device-resident handoff: the GQI peak batch feeds the stream
+        # engine with no fetch/host-rebuild/re-upload; restricted to
+        # peak 1 with no amplitude threshold = the host peak[0] path
         t1 = time.time()
+        pk1 = ft.peaks_to_ovecs(gqi, device=True).first(1)
         outdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
         with tempfile.TemporaryDirectory(dir=outdir) as d:
-            tract = ft.stream(gqi.peak[0], fa=dti.fa, mask=mask, seed=seed,
-                              nsub=3, trk_sink=os.path.join(d, "bench.trk"))
+            tract = ft.stream(pk1, fa=dti.fa, mask=mask, seed=seed,
+                              nsub=3, f_thresh=0.0,
+                              trk_sink=os.path.join(d, "bench.trk"))
         t_stream = time.time() - t1
 
         total = time.time() - t0

@@ -181,7 +181,9 @@ def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False):
         import os
         import tempfile
 
-        ovecs, fvols = ft.peaks_to_ovecs(rum)
+        # device-resident handoff: no peak fetch, no host orientation
+        # rebuild, no re-upload (core.handoff.DevicePeaks)
+        pk = ft.peaks_to_ovecs(rum, device=True)
 
         seed = ft.MRI.like(maskm, 1, np.float32)
         idx = np.flatnonzero(mask)
@@ -195,7 +197,7 @@ def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False):
         t2 = time.time()
         outdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
         with tempfile.TemporaryDirectory(dir=outdir) as d:
-            tract = ft.stream(ovecs, f=fvols, mask=maskm, seed=seed,
+            tract = ft.stream(pk, mask=maskm, seed=seed,
                               nsub=3, trk_sink=os.path.join(d, "rumba.trk"))
         t_tract = time.time() - t2
         sys.stderr.write(f"rumba->stream: {t_tract:.1f}s "

@@ -245,6 +245,8 @@ def mri_write_struct(result, basename: str) -> None:
     """Write every field of a result dataclass using the reference's
     field-per-file convention."""
     for f in dc_fields(result):
+        if f.name.startswith("_"):
+            continue          # private runtime state (e.g. device peaks)
         val = getattr(result, f.name)
         if isinstance(val, MRI):
             mri_write(val, f"{basename}_{f.name}.nii.gz")
@@ -274,6 +276,8 @@ def mri_read_struct(inbase: str, result_type, headeronly: bool = False,
 
     kwargs = {}
     for f in dc_fields(result_type):
+        if f.name.startswith("_"):
+            continue          # private runtime state, never on disk
         ftype = f.type
         if isinstance(ftype, str):
             is_mri = ftype.split(".")[-1] == "MRI"

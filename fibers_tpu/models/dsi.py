@@ -105,10 +105,37 @@ def _radial_weight_matrix(nfft: int, odf_dirs: ODF) -> np.ndarray:
     return w.astype(np.float32)
 
 
+def _half_spectrum_map(nfft: int) -> np.ndarray:
+    """[nfft^3] map from fftshift-ed full-spectrum flat indices to
+    rfftn half-spectrum flat indices ([nfft, nfft, nfft//2+1] C-order).
+
+    The q-space grid is real, so real(full_spec)[i,j,k] =
+    real(half_spec) at the Hermitian mirror — the whole post-FFT
+    pipeline (PDF sampling, the radial-quadrature GEMM, the
+    normalization sum) can consume the half spectrum directly, halving
+    FFT work and spectrum memory vs the complex fftn the reference's
+    per-voxel plans take (reference: src/dsi.jl:218-242)."""
+    n = nfft
+    nh = n // 2 + 1
+    s = n // 2
+    i, j, k = np.meshgrid(np.arange(n), np.arange(n), np.arange(n),
+                          indexing="ij")
+    i2, j2, k2 = (i - s) % n, (j - s) % n, (k - s) % n
+    flip = k2 >= nh
+    i2 = np.where(flip, (-i2) % n, i2)
+    j2 = np.where(flip, (-j2) % n, j2)
+    k2 = np.where(flip, n - k2, k2)
+    return ((i2 * n + j2) * nh + k2).reshape(-1).astype(np.int32)
+
+
 @partial(jax.jit, static_argnames=("nfft", "npeak"))
-def _dsi_kernel(signals, iq_flat, hann, wmat, verts_first, nbr, nbr_valid,
-                nfft, npeak=NPEAK):
-    """signals [B, nvol] -> pdf [B, nq], odf [B, nvert], peaks, qa terms."""
+def _dsi_kernel(signals, iq_half, hann, iq_flat, wmat_aug, verts_first,
+                nbr, nbr_valid, nfft, npeak=NPEAK):
+    """signals [B, nvol] -> pdf [B, nq], odf [B, nvert], peaks, qa terms.
+
+    `wmat_aug` is the half-spectrum radial weight matrix with the
+    normalization-count column appended, so the ODF quadrature AND the
+    PDF sum come out of ONE MXU GEMM over the real half spectrum."""
     s = jnp.maximum(signals, 0.0)
     valid = s.max(axis=1) > 0
 
@@ -119,16 +146,16 @@ def _dsi_kernel(signals, iq_flat, hann, wmat, verts_first, nbr, nbr_valid,
 
     shift = nfft // 2
     grid = jnp.roll(grid, (shift, shift, shift), axis=(1, 2, 3))
-    spec = jnp.fft.fftn(grid, axes=(1, 2, 3))
-    spec = jnp.roll(spec, (shift, shift, shift), axis=(1, 2, 3))
+    nh = nfft // 2 + 1
+    pr = jnp.real(jnp.fft.rfftn(grid, axes=(1, 2, 3)))
+    pr = pr.reshape(b, nfft * nfft * nh)
 
-    p = jnp.real(spec).reshape(b, nfft ** 3)
-    p = p / p.sum(axis=1, keepdims=True)
-
-    pdf = p[:, iq_flat]
-
-    odf = jnp.dot(p, wmat, preferred_element_type=jnp.float32,
+    aug = jnp.dot(pr, wmat_aug, preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
+    psum = aug[:, -1:]
+    odf = aug[:, :-1] / psum
+
+    pdf = pr[:, iq_half] / psum
     odfmin = odf.min(axis=1)
 
     is_peak = peak_mask(odf, nbr, nbr_valid)
@@ -180,13 +207,24 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     _, verts_first, faces0 = half_sphere(odf_dirs)
     nbr, nbr_ok = build_neighbors(faces0, nvert)
 
+    # Fold the Hermitian full->half spectrum mirror into the GEMM
+    # operand and the PDF sample indices, and the normalization sum into
+    # one extra GEMM column (count of full cells per half cell).
+    half_map = _half_spectrum_map(nfft)
+    nhalf = nfft * nfft * (nfft // 2 + 1)
+    wmat_aug = np.zeros((nhalf, nvert + 1), np.float32)
+    np.add.at(wmat_aug[:, :nvert], half_map, wmat)
+    wmat_aug[:, nvert] = np.bincount(half_map, minlength=nhalf)
+    iq_half = half_map[iq_flat]
+
     if mesh is None and batch is not None:
         mesh = batch.mesh
     ndata = int(mesh.shape["data"]) if mesh is not None else 1
 
-    # nfft-aware chunk guard: grid f32 + spectrum c64 + fft scratch
-    # ~= 20 bytes per grid cell per voxel (per device when sharded)
-    max_chunk = max(8, int(mem_budget * ndata / (nfft ** 3 * 20)))
+    # nfft-aware chunk guard: grid f32 + real half spectrum (c64 over
+    # nfft^3/2) + fft scratch ~= 12 bytes per grid cell per voxel (per
+    # device when sharded)
+    max_chunk = max(8, int(mem_budget * ndata / (nfft ** 3 * 12)))
     if chunk * ndata > max_chunk:
         chunk = 1 << int(np.floor(np.log2(max_chunk)))
         if chunk % ndata:
@@ -210,8 +248,9 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     qa_parts: list = []
     odfmax_d = jnp.zeros((), jnp.float32)
 
-    args = (jnp.asarray(iq_flat), jnp.asarray(hann), jnp.asarray(wmat),
-            jnp.asarray(verts_first), jnp.asarray(nbr), jnp.asarray(nbr_ok))
+    args = (jnp.asarray(iq_half), jnp.asarray(hann), jnp.asarray(iq_flat),
+            jnp.asarray(wmat_aug), jnp.asarray(verts_first),
+            jnp.asarray(nbr), jnp.asarray(nbr_ok))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -22,8 +22,6 @@ from ..core.lazy import LazyVolume
 from ..core.mri import MRI
 from ..core.odf import ODF
 from ..io.dispatch import mri_write_struct
-from ..ops.masked import (gather_frames, mask_indices, pad_rows, padded_size,
-                          scatter_frames)
 from ..ops.peaks import build_neighbors, peak_mask, top_peaks
 
 __all__ = ["GQI", "gqi_rec", "gqi_write", "find_peaks"]
@@ -33,11 +31,16 @@ NPEAK = 3
 
 @dataclass
 class GQI:
-    """Outputs of a GQI fit.  (reference: src/gqi.jl:10-14)"""
+    """Outputs of a GQI fit.  (reference: src/gqi.jl:10-14)
+
+    `_peak_dev` keeps the peak batch device-resident for the zero-fetch
+    tractography handoff (core.handoff.DevicePeaks); runtime state,
+    never written by `gqi_write`."""
 
     odf: MRI
     peak: List[MRI]
     qa: List[MRI]
+    _peak_dev: object = None
 
 
 def gqi_design(bval: np.ndarray, bvec: np.ndarray, odf_dirs: ODF,
@@ -176,27 +179,28 @@ def gqi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         from ..ops.transfer import sync
         sync(vecs_b)
 
-    from ..ops.transfer import to_host
-    n = len(idx)
     shape3 = mask.vol.shape[:3]
 
-    with prof("gqi.fetch_scatter"):
+    # Every large output stays device-resident: odf/peak/qa volumes
+    # materialize to host lazily, and the DevicePeaks stash feeds
+    # tractography with zero fetch (core.handoff).
+    with prof("gqi.lazy_outputs"):
         odf = MRI.like(mask, nvert, np.float32)
         odf.vol = LazyVolume(odf_b, idx, shape3, nvert)
-
-        vecs_b = to_host(vecs_b, n_lead=n)
-        qa_b = to_host(qa_b, n_lead=n)
 
         peak, qa = [], []
         for ip in range(NPEAK):
             pm = MRI.like(mask, 3, np.float32)
-            pm.vol = scatter_frames(vecs_b[:, ip, :], idx, shape3)
+            pm.vol = LazyVolume(vecs_b[:, ip, :], idx, shape3, 3)
             peak.append(pm)
             qm = MRI.like(mask, 1, np.float32)
-            qm.vol = scatter_frames(qa_b[:, ip], idx, shape3)
+            qm.vol = LazyVolume(qa_b[:, ip], idx, shape3, 1)
             qa.append(qm)
 
-    return GQI(odf=odf, peak=peak, qa=qa)
+    from ..core.handoff import DevicePeaks
+    return GQI(odf=odf, peak=peak, qa=qa,
+               _peak_dev=DevicePeaks(vecs=vecs_b, amp=qa_b, idx=idx,
+                                     ref=mask))
 
 
 def gqi_write(gqi: GQI, basename: str) -> None:

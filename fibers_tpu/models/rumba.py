@@ -49,7 +49,12 @@ _PRECISIONS = {
 
 @dataclass
 class RUMBASD:
-    """Outputs of a RUMBA-SD fit.  (reference: src/rusd.jl:11-20)"""
+    """Outputs of a RUMBA-SD fit.  (reference: src/rusd.jl:11-20)
+
+    `_peak_dev` additionally keeps the peak batch device-resident (unit
+    directions + volume-fraction amplitudes) so `peaks_to_ovecs(rec,
+    device=True)` can hand tractography a zero-copy orientation field;
+    it is runtime state, never written by `rumba_write`."""
 
     fodf: MRI
     fgm: MRI
@@ -59,6 +64,7 @@ class RUMBASD:
     var: MRI
     snr_mean: float
     snr_std: float
+    _peak_dev: object = None
 
 
 def tensor_model(phi, theta, lam, b, g, s0=1.0):
@@ -786,8 +792,6 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             fodf_full, f_iso_d, jnp.asarray(half_verts), jnp.asarray(nbr),
             jnp.asarray(nbr_ok), FTHRESH)
 
-        with prof("rumba.peaks_fetch"):
-            vecs = to_host(vecs_d, n_lead=nmask)
         # one stacked fetch for the three scalar maps (3 round trips -> 1)
         with prof("rumba.maps_fetch"):
             fff = to_host(jnp.stack([fgm_d, fcsf_d, gfa_d], axis=0))
@@ -799,7 +803,18 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         m.vol = scatter_frames(arr, idx, shape3)
         return m
 
-    peak = [vol_of(vecs[:, ip, :], 3) for ip in range(NPEAK)]
+    # Peak volumes stay device-resident (fetched lazily on host access,
+    # ~43 MB at HCP scale); the device handoff feeds tractography
+    # without any fetch at all.
+    from ..core.handoff import DevicePeaks, split_unit_amp
+
+    peak = []
+    for ip in range(NPEAK):
+        m = MRI.like(mask, 3, np.float32)
+        m.vol = LazyVolume(vecs_d[:, ip, :], idx, shape3, 3)
+        peak.append(m)
+    unit_d, amp_d = split_unit_amp(vecs_d)
+    peak_dev = DevicePeaks(vecs=unit_d, amp=amp_d, idx=idx, ref=mask)
 
     # The [N, nvert] fODF sheaf is the one large output: keep it device-
     # resident, materializing to a host volume only on access.
@@ -815,6 +830,7 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         var=vol_of(to_host(sig2, n_lead=nmask)[:, 0], 1),
         snr_mean=snr_mean,
         snr_std=snr_std,
+        _peak_dev=peak_dev,
     )
 
 

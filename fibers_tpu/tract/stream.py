@@ -36,7 +36,7 @@ __all__ = ["stream", "StreamConfig", "StreamWork", "stream_new_line",
            "peaks_to_ovecs"]
 
 
-def peaks_to_ovecs(rec):
+def peaks_to_ovecs(rec, device: bool = False):
     """(ovecs, fs) tractography inputs from a reconstruction result.
 
     GQI/DSI peaks are unit vertex directions with separate `qa` amplitude
@@ -45,7 +45,19 @@ def peaks_to_ovecs(rec):
     into unit directions + amplitude volumes, since the propagation math
     (like the reference's, see its TODO at src/stream.jl:146) expects
     unit vectors.  Pass the results to `stream(ovecs, f=fs, ...)`.
+
+    `device=True` returns the fit's `DevicePeaks` instead — the
+    orientation field then goes to `stream(peaks, mask=...)` without any
+    device->host fetch or re-upload (core.handoff); amplitudes are
+    thresholded at `f_thresh` on device.
     """
+    if device:
+        pk = getattr(rec, "_peak_dev", None)
+        if pk is None:
+            raise ValueError(
+                f"{type(rec).__name__} carries no device-resident peaks "
+                "(was it read back from disk?); call without device=True")
+        return pk
     if hasattr(rec, "qa"):                      # GQI / DSI
         return list(rec.peak), list(rec.qa)
 
@@ -644,6 +656,29 @@ def _build_ovec_array(ovecs: List[MRI], fs, f_thresh, mask_array, cfg):
     return arr
 
 
+@partial(jax.jit, static_argnames=("nmask",))
+def _amp_quantiles(amp, nmask):
+    """(1e-5, 0.9) quantiles of the first-peak amplitude over the real
+    batch rows, reduced on device (the f_thresh sanity warning's inputs;
+    reference: src/stream.jl:108-117)."""
+    a = amp[:nmask, 0]
+    return (jnp.quantile(a, 1e-5), jnp.quantile(a, 0.9))
+
+
+@partial(jax.jit, static_argnames=("nxyz",))
+def _build_ovec_device(vecs, amp, idx, gate_flat, f_thresh, nxyz):
+    """Masked [nxyz, nvec, 3] orientation array from a device peak batch:
+    per-vector amplitude threshold + mask gating + unit directions, all
+    in one scatter (the device counterpart of _build_ovec_array;
+    reference: src/stream.jl:130-173)."""
+    n = idx.shape[0]
+    v = vecs[:n]
+    ok = (amp[:n] >= f_thresh) & (gate_flat[idx] != 0)[:, None]
+    v = jnp.where(ok[..., None], v, 0.0)
+    out = jnp.zeros((nxyz,) + v.shape[1:], v.dtype)
+    return out.at[idx].set(v)
+
+
 class StreamWork:
     """Precomputed tractography workspace: resolved config defaults,
     intersected masks, and the packed orientation array.
@@ -663,16 +698,31 @@ class StreamWork:
             setattr(cfg, k, v)
         self.cfg = cfg
 
-        self.ovecs = [ovec] if isinstance(ovec, MRI) else list(ovec)
-        self.fs = None if f is None else (
-            [f] if isinstance(f, MRI) else list(f))
-
-        nx, ny, nz = self.ovecs[0].vol.shape[:3]
-        self.shape3 = (nx, ny, nz)
+        from ..core.handoff import DevicePeaks
+        self.device_peaks = ovec if isinstance(ovec, DevicePeaks) else None
+        if self.device_peaks is not None:
+            if mask is None:
+                raise ValueError(
+                    "stream with device-resident peaks requires mask=")
+            if f is not None:
+                raise ValueError(
+                    "device-resident peaks carry their own amplitudes; "
+                    "f= is not accepted")
+            self.ovecs = None
+            self.fs = None
+            self.shape3 = self.device_peaks.shape3
+            volres = self.device_peaks.volres
+        else:
+            self.ovecs = [ovec] if isinstance(ovec, MRI) else list(ovec)
+            self.fs = None if f is None else (
+                [f] if isinstance(f, MRI) else list(f))
+            self.shape3 = tuple(self.ovecs[0].vol.shape[:3])
+            volres = self.ovecs[0].volres
+        nx, ny, nz = self.shape3
 
         # Microscopy regime switches defaults (reference:
         # src/stream.jl:83-92)
-        self.domicro = float(np.min(self.ovecs[0].volres)) <= 0.05
+        self.domicro = float(np.min(volres)) <= 0.05
         self.nsub = cfg.nsub if cfg.nsub is not None else \
             (0 if self.domicro else 3)
         self.ang_thresh = cfg.ang_thresh if cfg.ang_thresh is not None \
@@ -706,7 +756,17 @@ class StreamWork:
                       f"volume ({fa_min}, {fa_max})")
             mask_array = mask_array & (favol >= cfg.fa_thresh)
 
-        if self.fs is not None:
+        if self.device_peaks is not None:
+            # f-range sanity warning from the device amplitudes (two
+            # scalar fetches; mirrors the host-volume quantile check)
+            pk = self.device_peaks
+            f_min, f_max = (float(v) for v in _amp_quantiles(
+                pk.amp, len(pk.idx)))
+            if cfg.f_thresh < f_min or cfg.f_thresh > f_max:
+                print(f"WARNING: The value of f_thresh ({cfg.f_thresh}) "
+                      f"is outside the range of most values in the f "
+                      f"volume ({f_min}, {f_max})")
+        elif self.fs is not None:
             f0 = self.fs[0].vol if self.fs[0].vol.ndim == 3 else \
                 self.fs[0].vol[..., 0]
             inmask = f0[mask_array]
@@ -718,8 +778,23 @@ class StreamWork:
                       f"volume ({f_min}, {f_max})")
 
         self.mask_array = mask_array
-        self.ovec_arr = _build_ovec_array(
-            self.ovecs, self.fs, cfg.f_thresh, mask_array, cfg)
+        if self.device_peaks is not None:
+            # On-device orientation field: scatter the masked, amplitude-
+            # thresholded unit vectors straight into the flat [nxyz,
+            # nvec, 3] array the propagation engine gathers from — no
+            # fetch, no host rebuild, no re-upload.
+            pk = self.device_peaks
+            self.nvec = pk.nvec
+            self.ovec_arr = None
+            self.ovec_flat_dev = _build_ovec_device(
+                pk.vecs, pk.amp, jnp.asarray(pk.idx, jnp.int32),
+                jnp.asarray(mask_array.reshape(-1)),
+                float(cfg.f_thresh), int(np.prod(self.shape3)))
+        else:
+            self.nvec = len(self.ovecs)
+            self.ovec_flat_dev = None
+            self.ovec_arr = _build_ovec_array(
+                self.ovecs, self.fs, cfg.f_thresh, mask_array, cfg)
 
 
 def stream_new_line(seed_vox, sub_vox, work: StreamWork) -> np.ndarray:
@@ -862,6 +937,10 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
     len_max, mask_array = work.len_max, work.mask_array
 
     if lcms is not None or work.domicro:
+        if work.device_peaks is not None:
+            raise ValueError("device-resident peaks drive the "
+                             "deterministic engine only; pass host "
+                             "volumes for LCM/microscopy modes")
         from .modes import stream_lcm, stream_micro
         if lcms is not None:
             return stream_lcm(ovecs, fs, mask_array, seed, lcms, cfg,
@@ -899,7 +978,10 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
     seeds_all = np.repeat(seed_idx.astype(np.float32), len(subs), axis=0)
     subs_all = np.tile(subs, (S, 1))
 
-    ovecs_flat = jnp.asarray(ovec_arr.reshape(-1, len(ovecs), 3))
+    if work.ovec_flat_dev is not None:
+        ovecs_flat = work.ovec_flat_dev
+    else:
+        ovecs_flat = jnp.asarray(ovec_arr.reshape(-1, work.nvec, 3))
 
     mesh = cfg.mesh
     if mesh is not None:

@@ -635,3 +635,55 @@ class TestPeaksToOvecs:
         ovecs, fs = ft.peaks_to_ovecs(rec)
         assert ovecs[0] is rec.peak[0]
         assert fs[0] is rec.qa[0]
+
+
+class TestDevicePeaksHandoff:
+    """Device-resident fit->tract handoff (core.handoff.DevicePeaks):
+    stream consumes the fit's peak batch with no fetch/rebuild/upload
+    and must produce IDENTICAL streamlines to the host-volume path."""
+
+    def _tract_arrays(self, tr):
+        pts = np.concatenate([np.asarray(x).T for x in tr.xyz]) \
+            if tr.n_count else np.zeros((0, 3))
+        return tr.n_count, pts
+
+    def test_gqi_handoff_matches_host_path(self):
+        from phantom import make_phantom
+        dwi, mask, _, _ = make_phantom(shape=(10, 10, 10), ndir=30)
+        gqi = ft.gqi_rec(dwi, mask, ft.sphere_362)
+
+        ovecs, fs = ft.peaks_to_ovecs(gqi)
+        host = ft.stream(ovecs, f=fs, mask=mask, nsub=1, f_thresh=0.01)
+
+        pk = ft.peaks_to_ovecs(gqi, device=True)
+        dev = ft.stream(pk, mask=mask, nsub=1, f_thresh=0.01)
+
+        n_h, p_h = self._tract_arrays(host)
+        n_d, p_d = self._tract_arrays(dev)
+        assert n_d == n_h and n_h > 0
+        np.testing.assert_array_equal(p_d, p_h)
+
+    def test_rumba_handoff_matches_host_path(self):
+        from phantom import make_phantom
+        dwi, mask, _, _ = make_phantom(shape=(8, 8, 8), ndir=30)
+        rum = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=10)
+
+        ovecs, fs = ft.peaks_to_ovecs(rum)
+        host = ft.stream(ovecs, f=fs, mask=mask, nsub=1, f_thresh=0.01)
+
+        pk = ft.peaks_to_ovecs(rum, device=True)
+        dev = ft.stream(pk, mask=mask, nsub=1, f_thresh=0.01)
+
+        n_h, p_h = self._tract_arrays(host)
+        n_d, p_d = self._tract_arrays(dev)
+        assert n_d == n_h and n_h > 0
+        np.testing.assert_allclose(p_d, p_h, atol=1e-6)
+
+    def test_handoff_requires_mask(self):
+        import pytest
+        from phantom import make_phantom
+        dwi, mask, _, _ = make_phantom(shape=(8, 8, 8), ndir=30)
+        gqi = ft.gqi_rec(dwi, mask, ft.sphere_362)
+        pk = ft.peaks_to_ovecs(gqi, device=True)
+        with pytest.raises(ValueError, match="mask"):
+            ft.stream(pk, nsub=1)

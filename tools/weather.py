@@ -1,0 +1,81 @@
+"""Tunnel-weather probe: is NOW a clean window for recording benchmarks?
+
+The tunneled TPU's execution, staging, and wire speeds swing hour to
+hour (BASELINE.md); kernel micro-benchmarks are stable ONLY when the
+window is clean.  This probe times three warm micro-benchmarks and
+prints a one-line verdict:
+
+  python tools/weather.py          # ~60 s
+
+- exec:  20 chained HCP-scale R-L-shaped GEMMs, one scalar fetch
+         (clean: <1.5x the best-ever per-GEMM time)
+- tv:    one fused Pallas TV stencil pass at HCP bbox scale
+         (clean: ~35 ms; bad windows measured 10-30x)
+- wire:  16 MB device->host fetch (clean: >20 MB/s)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fibers_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"clean": False, "why": "no TPU backend"}))
+        return
+
+    # --- exec probe: [720896, 254] x [254, 364] bf16-ish GEMM chain ---
+    a = jnp.ones((65536, 254), jnp.float32)
+    k = jnp.ones((254, 364), jnp.float32)
+
+    @jax.jit
+    def chain(a, k):
+        x = a
+        for _ in range(4):
+            y = jnp.dot(x, k, precision=jax.lax.Precision.HIGH)
+            x = jnp.dot(y, k.T, precision=jax.lax.Precision.HIGH) * 1e-3
+        return x
+
+    float(chain(a, k)[0, 0])                     # compile + warm
+    t0 = time.time()
+    float(chain(a, k)[0, 0])
+    t_exec = time.time() - t0
+    flops = 4 * 2 * 2 * 65536 * 254 * 364 * 3   # 3-pass bf16
+    tflops = flops / max(t_exec, 1e-9) / 1e12
+
+    # --- tv probe: HCP-bbox-scale fused stencil, one chunk ---
+    from fibers_tpu.ops.pallas.tv_stencil import tv_multiplier
+    v = jnp.ones((128, 130, 90, 128), jnp.float32)
+    lam = jnp.full((128, 130, 90), 0.004, jnp.float32)
+    float(tv_multiplier(v, lam)[0, 0, 0, 0])     # compile + warm
+    t0 = time.time()
+    float(tv_multiplier(v, lam)[0, 0, 0, 0])
+    t_tv = time.time() - t0
+
+    # --- wire probe: 16 MB flat fetch ---
+    big = jnp.ones((4 << 20,), jnp.float32)
+    np.asarray(big[:8])                          # force materialization
+    t0 = time.time()
+    np.asarray(big)
+    t_wire = time.time() - t0
+    mbs = 16.0 / max(t_wire, 1e-9)
+
+    clean = tflops > 8.0 and t_tv < 0.12 and mbs > 20.0
+    print(json.dumps({
+        "clean": bool(clean),
+        "exec_tflops": round(tflops, 1),
+        "tv_ms": round(t_tv * 1000, 1),
+        "wire_MBps": round(mbs, 1),
+    }))
+    sys.exit(0 if clean else 1)
+
+
+if __name__ == "__main__":
+    main()
