@@ -112,6 +112,23 @@ def main():
     ndir = 34 if small else 198
     target_seeds = 20_000 if small else 1_000_000
 
+    # Overlap jit compilation with the phantom build/load + upload: the
+    # warm-up thread waits on compile RPCs (persistent-cache hits are
+    # fast; misses are 15-400 s and would otherwise land inside run 1).
+    # The shape bucket needs only the mask cardinality, which the
+    # ellipsoid formula gives in milliseconds.
+    from fibers_tpu.ops.masked import padded_size
+    from fibers_tpu.utils.warmup import warm_e2e_async
+
+    xe, ye, ze = np.meshgrid(
+        np.linspace(-1, 1, shape[0]), np.linspace(-1, 1, shape[1]),
+        np.linspace(-1, 1, shape[2]), indexing="ij")
+    n_pad = padded_size(int(
+        ((xe ** 2 / 0.81 + ye ** 2 / 0.81 + ze ** 2 / 0.92) < 1.0).sum()))
+    del xe, ye, ze
+    warm_e2e_async(shape, ndir, n_pad, ft.sphere_642, chunk=1 << 17,
+                   nvec=1)
+
     build_t0 = time.time()
     cache = os.path.join(
         os.environ.get("FIBERS_BENCH_CACHE", "/tmp"),

@@ -83,16 +83,24 @@ def _quantize_rows(part: np.ndarray, scale: float) -> np.ndarray:
     return (q + 0.5).astype(np.uint16)      # round-half-up, cheaper
 
 
+def _dq_kernel(x, scale):
+    return x.astype(jnp.float32) * scale
+
+
+_dq_jit = None
+
+
 def _dequant(dev, scale: float):
     """Device-side dequantization to the float32 batch fits consume.
-    One fused elementwise pass at HBM bandwidth; preserves sharding."""
+    One fused elementwise pass at HBM bandwidth; preserves sharding.
+    The scale rides as a traced scalar so every (shape, dtype) compiles
+    exactly once."""
     import jax
 
-    @jax.jit
-    def dq(x):
-        return x.astype(jnp.float32) * jnp.float32(scale)
-
-    return dq(dev)
+    global _dq_jit
+    if _dq_jit is None:
+        _dq_jit = jax.jit(_dq_kernel)
+    return _dq_jit(dev, jnp.float32(scale))
 
 
 def prepare_batch(dwi, mask, mesh=None, wire: str = "auto") -> VoxelBatch:

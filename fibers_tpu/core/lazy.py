@@ -18,7 +18,50 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["LazyVolume"]
+__all__ = ["LazyVolume", "LazyArray"]
+
+
+class LazyArray:
+    """Device array that fetches to host on first access (via the tuned
+    chunked transfer path, not np.asarray's tiled-layout slow path).
+
+    For fit outputs that are plain arrays rather than volumes (e.g. the
+    structure tensor's eigenvector/eigenvalue fields): pipelines that
+    keep consuming them on device never pay the device->host transfer.
+    """
+
+    def __init__(self, values):
+        self._values = values
+        self._host = None
+
+    @property
+    def device(self):
+        """The underlying device array (None once materialized)."""
+        return self._values
+
+    @property
+    def shape(self):
+        return tuple(self._values.shape) if self._host is None \
+            else self._host.shape
+
+    @property
+    def dtype(self):
+        return np.dtype(self._values.dtype) if self._host is None \
+            else self._host.dtype
+
+    def __getitem__(self, key):
+        return self.materialize()[key]
+
+    def materialize(self) -> np.ndarray:
+        if self._host is None:
+            from ..ops.transfer import to_host
+            self._host = to_host(self._values)
+            self._values = None  # release HBM
+        return self._host
+
+    def __array__(self, dtype=None):
+        a = self.materialize()
+        return a.astype(dtype) if dtype is not None else a
 
 
 class LazyVolume:

@@ -115,14 +115,20 @@ def st_eigen(sxx, sxy, sxz, syy, syz, szz):
     return to_host(evecs[..., ::-1]), to_host(evals[..., ::-1])
 
 
-def st_recon(vol: np.ndarray, sigma: float, rho: float):
+def st_recon(vol: np.ndarray, sigma: float, rho: float, lazy: bool = False):
     """Structure-tensor reconstruction: Gaussian pre-smooth (sigma), Scharr
     gradients, outer products, Gaussian post-smooth (rho), eigen-
     decomposition.  (reference: src/structens.jl:40-88)
 
     Returns (eigvec [X,Y,Z,3,3], eigval [X,Y,Z,3]), eigenvalues ascending.
+
+    With `lazy=True` the outputs are `LazyArray`s: the ~110 MB
+    evecs/evals fetch (which dominates wall time over the ~0.3 s kernel
+    at HCP scale, BASELINE.md) is deferred until host code touches them
+    — device-side consumers (e.g. orientation handoff) never pay it.
     """
-    from ..ops.transfer import to_host
+    from ..core.lazy import LazyArray
+    from ..ops.transfer import sync, to_host
     from ..utils.profiling import prof
 
     v = np.asarray(vol, np.float32)
@@ -130,7 +136,8 @@ def st_recon(vol: np.ndarray, sigma: float, rho: float):
         v = v[..., 0]
     with prof("structens.kernel"):
         evecs, evals = _st_kernel(jnp.asarray(v), float(sigma), float(rho))
-        from ..ops.transfer import sync
         sync(evals)
+    if lazy:
+        return LazyArray(evecs), LazyArray(evals)
     with prof("structens.fetch"):
         return to_host(evecs), to_host(evals)

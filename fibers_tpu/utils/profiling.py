@@ -29,10 +29,11 @@ class StageTimer:
     def __init__(self):
         self.totals: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
+        self.flops: Dict[str, float] = {}
         self.order: List[str] = []
 
     @contextmanager
-    def __call__(self, stage: str):
+    def __call__(self, stage: str, flops: Optional[float] = None):
         t0 = time.perf_counter()
         try:
             yield
@@ -44,14 +45,25 @@ class StageTimer:
                 self.order.append(stage)
             self.totals[stage] += dt
             self.counts[stage] += 1
+            if flops:
+                self.flops[stage] = self.flops.get(stage, 0.0) + flops
 
     def summary(self) -> str:
         total = sum(self.totals.values())
-        lines = [f"{'stage':<24}{'calls':>6}{'total s':>10}{'%':>7}"]
+        has_flops = bool(self.flops)
+        hdr = f"{'stage':<24}{'calls':>6}{'total s':>10}{'%':>7}"
+        if has_flops:
+            hdr += f"{'TFLOP/s':>10}"
+        lines = [hdr]
         for s in self.order:
             pct = 100.0 * self.totals[s] / total if total else 0.0
-            lines.append(f"{s:<24}{self.counts[s]:>6}"
-                         f"{self.totals[s]:>10.3f}{pct:>6.1f}%")
+            row = (f"{s:<24}{self.counts[s]:>6}"
+                   f"{self.totals[s]:>10.3f}{pct:>6.1f}%")
+            if has_flops:
+                fl = self.flops.get(s)
+                row += (f"{fl / self.totals[s] / 1e12:>10.2f}"
+                        if fl and self.totals[s] > 0 else f"{'':>10}")
+            lines.append(row)
         lines.append(f"{'TOTAL':<24}{'':>6}{total:>10.3f}")
         return "\n".join(lines)
 
@@ -70,14 +82,15 @@ def prof_enabled() -> bool:
 
 
 @contextmanager
-def prof(stage: str):
+def prof(stage: str, flops: Optional[float] = None):
     """Time a named stage into the global profiler (no-op unless
     FIBERS_PROFILE=1).  Callers should block_until_ready inside the block
-    when attributing device work."""
+    when attributing device work.  `flops` (raw FLOPs executed inside
+    the block) adds an achieved-TFLOP/s column to the summary."""
     if not prof_enabled():
         yield
         return
-    with _GLOBAL(stage):
+    with _GLOBAL(stage, flops=flops):
         yield
 
 

@@ -1,0 +1,156 @@
+"""Asynchronous ahead-of-time compilation of the hot shape buckets.
+
+Remote compiles on tunneled TPU runtimes take 15-400 s on a persistent-
+cache miss (BASELINE.md) and normally land serially inside the first
+timed pipeline run.  `warm_e2e_async` lowers + compiles the e2e
+pipeline's kernels for their real shape buckets on a daemon thread —
+the thread spends its time waiting on compile RPCs, so it overlaps the
+host-side phantom/scan load and the signal upload almost for free (one
+CPU core; tracing costs ~100 ms per kernel).
+
+Compilation is keyed by shapes, not values, so the warm-up needs only
+the problem geometry.  Compiled executables land in JAX's in-process
+executable cache AND the persistent cache; the pipeline's later calls
+with real data hit them directly.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+__all__ = ["warm_e2e_async", "warm_rumba_async"]
+
+
+def _sds(shape, dtype=np.float32):
+    import jax
+
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _warm_e2e(shape3, nvol, n_pad, sphere, chunk, nvec):
+    import jax
+
+    from ..core import batch as _batch
+    from ..core.odf import half_sphere
+    from ..models.dti import _adc_kernel, _dti_kernel
+    from ..ops.peaks import build_neighbors
+    from ..tract import stream as _st
+
+    sig = _sds((n_pad, nvol))
+    n3 = int(np.prod(shape3))
+
+    # batch dequant (uint16 wire)
+    _batch._dequant.__globals__  # keep import explicit
+    jax.jit(_batch._dq_kernel).lower(
+        _sds((n_pad, nvol), np.uint16), _sds((), np.float32)).compile()
+
+    # ADC + DTI kernels
+    jax.jit(_adc_kernel.__wrapped__).lower(
+        sig, _sds((nvol, 2)), _sds((nvol,))).compile()
+    jax.jit(_dti_kernel.__wrapped__).lower(
+        sig, _sds((nvol, 7)), _sds((nvol,))).compile()
+
+    # GQI kernel (pallas on TPU, xla otherwise) — P/okmask shapes need
+    # the real neighbor topology (small host math)
+    nvert = sphere.nvert_half
+    _, _, faces0 = half_sphere(sphere)
+    nbr, nbr_ok = build_neighbors(faces0, nvert)
+    if jax.default_backend() == "tpu":
+        from ..models.gqi import _gqi_kernel_pallas
+        from ..ops.pallas.gqi_fused import neighbor_permutations
+        P, okmask = neighbor_permutations(nbr, nbr_ok)
+        jax.jit(_gqi_kernel_pallas.__wrapped__,
+                static_argnames=("npeak",)).lower(
+            sig, _sds((nvert, nvol)), _sds((nvert, 3)),
+            _sds(np.asarray(P).shape, np.asarray(P).dtype),
+            _sds(np.asarray(okmask).shape, np.asarray(okmask).dtype),
+            npeak=3).compile()
+    else:
+        from ..models.gqi import _gqi_kernel
+        jax.jit(_gqi_kernel.__wrapped__,
+                static_argnames=("npeak",)).lower(
+            sig, _sds((nvert, nvol)), _sds((nvert, 3)),
+            _sds(nbr.shape, nbr.dtype), _sds(nbr_ok.shape, nbr_ok.dtype),
+            npeak=3).compile()
+
+    # device ovec build + stream propagation for the standard chunk
+    jax.jit(_st._build_ovec_device.__wrapped__,
+            static_argnames=("nxyz",)).lower(
+        _sds((n_pad, nvec, 3)), _sds((n_pad, nvec)),
+        _sds((n_pad,), np.int32), _sds((n3,), bool),
+        0.0, nxyz=n3).compile()
+
+    nsteps = int(max(shape3)) + 2
+    emit = "deltas" if jax.default_backend() == "tpu" else "points"
+    jax.jit(_st._propagate.__wrapped__,
+            static_argnames=("nsteps", "shape3", "emit",
+                             "qscale")).lower(
+        _sds((chunk, 3)), _sds((chunk, 3)), _sds((chunk,), np.int32),
+        _sds((n3, nvec, 3)), nsteps, tuple(shape3), 0.5,
+        float(np.cos(np.radians(45.0))), 0.2, int(max(shape3)),
+        emit=emit, qscale=254.0).compile()
+    jax.jit(_st._pack_meta.__wrapped__).lower(
+        _sds((chunk,), np.int32), _sds((chunk,), np.int32),
+        _sds((chunk, 3))).compile()
+
+
+def warm_e2e_async(shape3, nvol, n_pad, sphere=None, chunk=1 << 17,
+                   nvec=1) -> threading.Thread:
+    """Start compiling the DTI+GQI+stream shape bucket in the background.
+
+    Returns the (daemon) thread; join() it to bound worst-case cold
+    start, or ignore it — compiles that finish first still count.
+    Failures are swallowed (warm-up is best-effort; the pipeline
+    compiles on demand as before)."""
+    if sphere is None:
+        from ..core import odf as _odf
+        sphere = _odf.sphere_642
+
+    def run():
+        try:
+            _warm_e2e(tuple(shape3), int(nvol), int(n_pad), sphere,
+                      int(chunk), int(nvec))
+        except Exception as e:          # pragma: no cover
+            import sys
+            sys.stderr.write(f"fibers_tpu.warmup: best-effort warm-up "
+                             f"failed: {e!r}\n")
+
+    t = threading.Thread(target=run, daemon=True, name="fibers-warmup")
+    t.start()
+    return t
+
+
+def warm_rumba_async(tv_shape3, ndir, ncomp, n_rows,
+                     k=None) -> threading.Thread:
+    """Start compiling the RUMBA iteration block for its shape bucket."""
+
+    def run():
+        try:
+            import jax
+
+            from ..models import rumba as _r
+
+            kk = _r._BLOCK_ITERS if k is None else int(k)
+            tv_nxyz = int(np.prod(tv_shape3))
+            jax.jit(_r._rumba_block.__wrapped__,
+                    static_argnames=("k", "n_order", "ipat_factor",
+                                     "use_tv", "shape3", "nxyz",
+                                     "precision", "mesh",
+                                     "tv_bf16")).lower(
+                _sds((n_rows, ncomp)), _sds((n_rows, ndir)),
+                _sds((n_rows, ndir)), _sds((n_rows, 1)),
+                _sds((tv_nxyz,)), _sds((n_rows, ndir)),
+                _sds((ndir, ncomp)), _sds((n_rows,), np.int64),
+                k=kk, n_order=1, ipat_factor=1, use_tv=True,
+                shape3=tuple(tv_shape3), nxyz=tv_nxyz,
+                precision="high", mesh=None, tv_bf16=False).compile()
+        except Exception as e:          # pragma: no cover
+            import sys
+            sys.stderr.write(f"fibers_tpu.warmup: best-effort warm-up "
+                             f"failed: {e!r}\n")
+
+    t = threading.Thread(target=run, daemon=True, name="fibers-warmup-r")
+    t.start()
+    return t
