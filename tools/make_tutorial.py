@@ -94,9 +94,24 @@ def tensor_signal(axes):
 cross = (np.abs(y) < 0.25) & (np.abs(z) < 0.4)
 w = np.where(cross, 0.5, 0.0)[..., None]
 vol = 100.0 * ((1 - w)*tensor_signal(ax1) + w*tensor_signal(ax2))
+
+# three tissue classes, like the HCP scan's anatomical segmentation:
+# a CSF-like "ventricle" (isotropic, fast diffusion), a gray-matter
+# rim (isotropic, slow), and the anisotropic white-matter bulk
+r2 = x**2 + y**2 + z**2
+csf = mask & (((x + 0.25)**2 + y**2 + z**2 < 0.03)
+              | ((x - 0.25)**2 + y**2 + z**2 < 0.03))
+gm = mask & ~csf & (r2 > 0.55)
+wm = mask & ~csf & ~gm
+d_csf, d_gm = 3.0e-3, 0.8e-3
+vol[csf] = 100.0 * np.exp(-bval * d_csf)[None, :]
+vol[gm] = 100.0 * np.exp(-bval * d_gm)[None, :]
+
+vol *= 10.0                 # s0=1000: SNR ~500, like a real scan's b0
 vol = np.abs(vol + 2.0*rng.standard_normal(vol.shape)) * mask[..., None]
 vol = vol.astype(np.float32)
-print("DWI:", vol.shape, "masked voxels:", int(mask.sum()))
+print("DWI:", vol.shape, "masked voxels:", int(mask.sum()),
+      f"(wm {wm.sum()}, gm {gm.sum()}, csf {csf.sum()})")
 """),
     md("""
 ## 2. The `MRI` container and file I/O
@@ -144,15 +159,40 @@ ft.show_slice(back, plane="a", t=0)
 ## 3. ADC fit
 
 Log-linear least squares of `s(b) = s0 * exp(-b*d)` over the masked
-voxels, as one batched solve (the reference loops per voxel).  Mean ADC
-inside the brain should sit between the tensor's radial and axial
-diffusivities.
+voxels, as one batched solve (the reference loops per voxel).  The
+reference tutorial checks the fitted diffusivity per tissue class of
+the anatomical segmentation (ventricles > gray > white along the
+fiber-normal average), fitting on the lower shell only — at b=3000 the
+CSF signal is beneath the noise floor and the log-linear fit would be
+Rician-biased.  Our phantom has known per-class ground truth, so the
+check is quantitative.
 """),
     code("""
-adc, s0 = ft.adc_fit(back, maskm)
-mean_adc = float(adc.vol[mask].mean())
-print(f"mean ADC = {mean_adc:.2e} mm^2/s")
-assert 0.3e-3 < mean_adc < 1.7e-3
+lo = bval <= 1500.0
+dwi_lo = ft.MRI(vol=np.ascontiguousarray(back.vol[..., lo]))
+dwi_lo.vox2ras0 = back.vox2ras0.copy()
+dwi_lo.volsize = np.asarray(shape)
+dwi_lo.width, dwi_lo.height, dwi_lo.depth = shape
+dwi_lo.nframes = int(lo.sum())
+dwi_lo.set_geometry()
+dwi_lo.bval, dwi_lo.bvec = bval[lo], dwi.bvec[lo]
+
+adc, s0 = ft.adc_fit(dwi_lo, maskm)
+
+rows = [("ventricles (CSF)", csf, d_csf),
+        ("cortical gray matter", gm, d_gm),
+        ("white matter", wm, None)]
+print(f"{'tissue':<24}{'mean ADC':>12}{'truth':>12}")
+for name, sel, truth in rows:
+    m_adc = float(adc.vol[sel].mean())
+    t = f"{truth:.1e}" if truth else "(aniso)"
+    print(f"{name:<24}{m_adc:>12.2e}{t:>12}")
+    if truth:
+        assert abs(m_adc - truth) < 0.25 * truth, (name, m_adc)
+
+# CSF diffuses fastest, gray matter slowest of the isotropic classes
+assert adc.vol[csf].mean() > adc.vol[wm].mean() > 0
+assert adc.vol[csf].mean() > adc.vol[gm].mean()
 """),
     md("""
 ## 4. DTI fit
@@ -165,13 +205,16 @@ slab, and the principal eigenvector should align with the true fiber.
     code("""
 dti = ft.dti_fit(back, maskm)
 
-fa_single = dti.fa.vol[mask & ~cross]
-print(f"FA (single-fiber): {fa_single.mean():.3f}")
+sel1 = wm & ~cross                       # single-fiber white matter
+fa_single = dti.fa.vol[sel1]
+print(f"FA (single-fiber WM): {fa_single.mean():.3f}  "
+      f"GM: {dti.fa.vol[gm].mean():.3f}  CSF: {dti.fa.vol[csf].mean():.3f}")
 assert fa_single.mean() > 0.6
+assert dti.fa.vol[gm].mean() < 0.3 and dti.fa.vol[csf].mean() < 0.3
 
 # principal eigenvector vs ground truth (up to sign)
-v1 = dti.eigvec1.vol[mask & ~cross]
-truth = ax1[mask & ~cross]
+v1 = dti.eigvec1.vol[sel1]
+truth = ax1[sel1]
 align = np.abs(np.einsum("ni,ni->n", v1, truth))
 print(f"median |v1 . truth| = {np.median(align):.4f}")
 assert np.median(align) > 0.98
@@ -189,8 +232,8 @@ GQI should find two distinct peaks ~90 degrees apart.
     code("""
 gqi = ft.gqi_rec(back, maskm, ft.sphere_642)
 
-p1 = gqi.peak[0].vol[mask & ~cross]
-truth = ax1[mask & ~cross]
+p1 = np.asarray(gqi.peak[0].vol)[sel1]
+truth = ax1[sel1]
 n1 = np.linalg.norm(p1, axis=1)
 ok = n1 > 0
 align = np.abs(np.einsum("ni,ni->n", p1[ok]/n1[ok, None], truth[ok]))
@@ -198,8 +241,8 @@ print(f"peak-1 angular agreement: median |dot| = {np.median(align):.4f}")
 assert np.median(align) > 0.97
 
 # crossing slab: second peak present and ~orthogonal to the first
-p1c = gqi.peak[0].vol[mask & cross]
-p2c = gqi.peak[1].vol[mask & cross]
+p1c = np.asarray(gqi.peak[0].vol)[wm & cross]
+p2c = np.asarray(gqi.peak[1].vol)[wm & cross]
 both = (np.linalg.norm(p1c, 2, 1) > 0) & (np.linalg.norm(p2c, 2, 1) > 0)
 print(f"crossing voxels with 2 peaks: {both.mean():.2f}")
 assert both.mean() > 0.5
@@ -209,7 +252,47 @@ print(f"median inter-peak |cos| = {np.median(cosx):.3f} (expect ~0)")
 assert np.median(cosx) < 0.35
 """),
     md("""
-## 6. RUMBA-SD with checkpoint/resume
+## 6. DSI reconstruction
+
+Diffusion spectrum imaging needs Cartesian q-space sampling (b scales
+with |q|^2).  We synthesize a small DSI acquisition of the same
+geometry — 123 q-space points in a radius-3 ball — and reconstruct the
+diffusion propagator and its orientation distribution by batched 3D
+real-FFT plus a radial-quadrature GEMM.
+"""),
+    code("""
+r = np.arange(-3, 4)
+qg = np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
+qg = qg[(qg**2).sum(1) <= 9].astype(np.float64)
+qn = np.sqrt((qg**2).sum(1))
+bvec_dsi = np.where(qn[:, None] > 0, qg/np.maximum(qn, 1e-30)[:, None],
+                    0.0).astype(np.float32)
+bval_dsi = ((qg**2).sum(1) * (6000.0/9)).astype(np.float32)
+print(f"DSI: {len(bval_dsi)} q-space samples, bmax={bval_dsi.max():.0f}")
+
+dots = np.einsum("xyzi,vi->xyzv", ax1, bvec_dsi)
+vol_dsi = (100.0*np.exp(-bval_dsi*(lt + (lp - lt)*dots**2))).astype(np.float32)
+vol_dsi = np.abs(vol_dsi + 2.0*rng.standard_normal(vol_dsi.shape)) \\
+    * mask[..., None]
+dwi_dsi = ft.MRI(vol=vol_dsi.astype(np.float32))
+dwi_dsi.vox2ras0 = dwi.vox2ras0.copy()
+dwi_dsi.volsize = np.asarray(shape)
+dwi_dsi.width, dwi_dsi.height, dwi_dsi.depth = shape
+dwi_dsi.nframes = len(bval_dsi)
+dwi_dsi.set_geometry()
+dwi_dsi.bval, dwi_dsi.bvec = bval_dsi, bvec_dsi
+
+dsi = ft.dsi_rec(dwi_dsi, maskm, ft.sphere_362)
+p1 = np.asarray(dsi.peak[0].vol)[sel1]
+n1 = np.linalg.norm(p1, axis=1)
+ok = n1 > 0
+align = np.abs(np.einsum("ni,ni->n", p1[ok]/n1[ok, None], ax1[sel1][ok]))
+print(f"DSI peak-1 agreement: median |dot| = {np.median(align):.4f}")
+assert np.median(align) > 0.95
+ft.dsi_write(dsi, f"{outdir}/dsi")
+"""),
+    md("""
+## 7. RUMBA-SD with checkpoint/resume
 
 Robust spherical deconvolution (Richardson-Lucy with a Rician noise
 model and TV regularization).  The reference tutorial resumes from a
@@ -244,7 +327,7 @@ print(f"struct round trip max |dGFA| = {err:.2e}")
 assert err < 1e-5
 """),
     md("""
-## 7. Deterministic tractography
+## 8. Deterministic tractography
 
 Streamlines follow the GQI peak field (FA-masked), integrated in
 lockstep on device with 3 jittered sub-voxel seeds per voxel, and are
@@ -268,20 +351,92 @@ print(f"median z-extent: {np.median(zdrift):.2f} voxels")
 assert np.median(zdrift) < 2.0
 """),
     md("""
-## 8. RUMBA fODF peaks -> tractography
+## 9. RUMBA fODF peaks -> tractography
 
 RUMBA's peak vectors carry the fiber volume fraction in their magnitude;
 `ft.peaks_to_ovecs` splits them into unit directions plus `f` amplitude
-volumes, which `stream` thresholds at `f_thresh`.
+volumes, which `stream` thresholds at `f_thresh`.  With `device=True`
+the peak field never leaves the accelerator: `stream` builds its masked
+orientation array on device (the production path on TPU).
 """),
     code("""
 ovecs, fs = ft.peaks_to_ovecs(rumba60)
 tract_r = ft.stream(ovecs, f=fs, mask=maskm, nsub=1, f_thresh=0.01)
 print(f"{tract_r.n_count} streamlines from the RUMBA peak field")
 assert tract_r.n_count > 500
+
+pk = ft.peaks_to_ovecs(rumba60, device=True)       # zero-fetch handoff
+tract_d = ft.stream(pk, mask=maskm, nsub=1, f_thresh=0.01)
+assert tract_d.n_count == tract_r.n_count
+print("device handoff: identical", tract_d.n_count, "streamlines")
 """),
     md("""
-## 9. Multi-chip fits
+## 10. Probabilistic tractography (LCM)
+
+With local connection matrices (`lcms=`), propagation samples each
+voxel's 10 in-plane edge-pair connection strengths instead of greedily
+following the vector field (reference: src/stream.jl:380-495).  Here we
+open only the straight-through x connection, so every sampled path runs
+along x.
+"""),
+    code("""
+shape_l = (16, 16, 1)
+v = np.zeros(shape_l + (3,), np.float32); v[..., 0] = 1.0
+ov_l = ft.MRI(vol=v)
+ov_l.vox2ras0 = np.eye(4, dtype=np.float32)
+ov_l.volsize = np.asarray(shape_l)
+ov_l.width, ov_l.height, ov_l.depth = shape_l
+ov_l.nframes = 3
+ov_l.set_geometry()
+
+def _m(arr):
+    m = ft.MRI.like(ov_l, 1, np.float32); m.vol = arr.astype(np.float32)
+    return m
+
+mask_l = np.zeros(shape_l, np.float32); mask_l[:, 8, 0] = 1
+seed_l = np.zeros(shape_l, np.float32); seed_l[8, 8, 0] = 1
+lcm = np.zeros(shape_l + (10,), np.float32)
+lcm[..., 2] = 1.0                       # x straight-through edge pair
+tract_l = ft.stream(ov_l, mask=_m(mask_l), seed=_m(seed_l),
+                    lcms=ft.MRI(vol=lcm), nsub=0, step_size=1.0,
+                    len_max=100)
+pts_l = tract_l.xyz[0].T
+print(f"LCM path: {pts_l.shape[0]} points, y spread "
+      f"{np.ptp(pts_l[:, 1]):.2f}")
+assert np.ptp(pts_l[:, 0]) > 10 and np.allclose(pts_l[:, 1], 8, atol=0.5)
+assert tract_l.n_scalars == 1           # method-difference flags
+"""),
+    md("""
+## 11. Microscopy tractography
+
+Voxel sizes <= 50 um switch `stream` into the cone-search regime
+(reference: src/stream.jl:83-92, 547-619): each step scans a search
+window around the tentative next voxel for the best-aligned orientation
+within `search_ang` degrees, jumping voxel to voxel.
+"""),
+    code("""
+shape_u = (30, 9, 9)
+v = np.zeros(shape_u + (3,), np.float32); v[..., 0] = 1.0
+ov_u = ft.MRI(vol=v)
+ov_u.vox2ras0 = np.eye(4, dtype=np.float32)
+ov_u.volsize = np.asarray(shape_u)
+ov_u.width, ov_u.height, ov_u.depth = shape_u
+ov_u.nframes = 3
+ov_u.set_geometry()
+ov_u.volres = np.array([0.01, 0.01, 0.01], np.float32)   # 10 um voxels
+
+mask_u = np.zeros(shape_u, np.float32); mask_u[:, 4, 4] = 1
+seed_u = np.zeros(shape_u, np.float32); seed_u[15, 4, 4] = 1
+mu = ft.MRI.like(ov_u, 1, np.float32); mu.vol = mask_u
+su = ft.MRI.like(ov_u, 1, np.float32); su.vol = seed_u
+tract_u = ft.stream(ov_u, mask=mu, seed=su, nsub=0, search_dist=3,
+                    len_max=100)
+pts_u = tract_u.xyz[0].T
+print(f"micro path: {pts_u.shape[0]} integer-voxel jumps along x")
+assert np.ptp(pts_u[:, 0]) > 20
+"""),
+    md("""
+## 12. Multi-chip fits
 
 Every fit takes a prepared `VoxelBatch`; preparing it on a
 `jax.sharding.Mesh` makes the same calls data-parallel across every
@@ -306,18 +461,17 @@ else:
     print("single device - mesh demo skipped")
 """),
     md("""
-## 10. Where to go from here
+## 13. Where to go from here
 
-- `ft.dsi_rec` — DSI q-space reconstruction (batched 3D FFT)
 - `ft.st_recon` — structure-tensor orientation for microscopy volumes
-- `ft.stream(..., lcms=...)` — probabilistic tractography from local
-  connection matrices; micro-scale cone search engages automatically
-  for voxel sizes <= 50 um
+  (`lazy=True` keeps the eigenfields on device)
 - `ft.xfm_read` / `ft.str_xform` — applying registration transforms to
   volumes and tractograms
 - `ft.rumba_rec(..., batch=prepare_batch(..., mesh=mesh))` and
   `ft.stream(..., mesh=mesh)` scale the heavy fits and tractography
   across a TPU pod; see `fibers_tpu/parallel/` and docs/parity.md.
+- `benchmarks/` — e2e, per-model, MFU/roofline, and CPU-baseline
+  benchmarks with recorded results in BASELINE.md.
 """),
 ]
 
