@@ -488,10 +488,20 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
     launch(lo) -> (fwd_out, fwd_n_dev, bwd_out, bwd_n_dev, meta) or,
     with has_scalars, (..., fwd_scal, bwd_scal) where the scalar buffers
     are [T, S] int8 per-point flags compacted in line order alongside
-    the coordinates.  Returns the finished Tract."""
+    the coordinates.  Returns the finished Tract.
+
+    On hosts with <=2 CPU cores the fetch of chunk i+1 is NOT overlapped
+    with decoding/packing chunk i: the tunnel RPC client busy-polls a
+    core per in-flight transfer (measured 7-8x mutual starvation on the
+    1-core bench VM — decode/pack stages ballooned from ~5 s of work to
+    46-65 s of wall), so sequential phases are strictly faster there.
+    On multi-core hosts the overlap is free and stays on."""
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
     from ..ops.transfer import to_host
+
+    overlap = (os.cpu_count() or 1) > 2
 
     # All chunks' raw propagation buffers live until their compaction;
     # int8 chunks are small so everything phases at once, but exact-f32
@@ -540,17 +550,27 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
                 sraw = to_host(sbuf, n_lead=(total + 3) // 4)
         return raw, sraw
 
+    def fetched():
+        """(raw, sraw) per live chunk — prefetched one ahead on hosts
+        with CPU to spare, strictly sequential otherwise."""
+        if overlap:
+            with ThreadPoolExecutor(1) as pool:
+                futs = [pool.submit(fetch_pair, buf, sbuf, total)
+                        for buf, sbuf, total, _n, _a in live]
+                for fut in futs:
+                    yield fut.result()
+        else:
+            for buf, sbuf, total, _n, _a in live:
+                yield fetch_pair(buf, sbuf, total)
+
     if cfg.trk_sink is not None:
         # Write each chunk's lines to the .trk as it is fetched+decoded;
         # the file write rides under the next chunk's wire time.
         from ..io.trk import TrkSink
 
-        with TrkSink(cfg.trk_sink, tr, len(npts)) as sink, \
-                ThreadPoolExecutor(1) as pool:
-            futs = [pool.submit(fetch_pair, buf, sbuf, total)
-                    for buf, sbuf, total, npts_c, anch_k in live]
-            for fut, (_, sbuf, total, npts_c, anch_k) in zip(futs, live):
-                raw, sraw = fut.result()
+        with TrkSink(cfg.trk_sink, tr, len(npts)) as sink:
+            for (raw, sraw), (_, sbuf, total, npts_c, anch_k) in zip(
+                    fetched(), live):
                 pts = _decode_points(raw, total, mode, npts=npts_c,
                                      anchors=anch_k, qscale=qscale)
                 scal = None if sraw is None else \
@@ -563,17 +583,14 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
     total_all = sum(t for _, _, t, _, _ in live)
     flat_pts = np.empty((total_all, 3), np.float32)
     flat_scal = np.empty(total_all, np.float32) if has_scalars else None
-    with ThreadPoolExecutor(1) as pool:
-        futs = [pool.submit(fetch_pair, buf, sbuf, total)
-                for buf, sbuf, total, npts_c, anch_k in live]
-        pos = 0
-        for fut, (_, sbuf, total, npts_c, anch_k) in zip(futs, live):
-            raw, sraw = fut.result()
-            _decode_points(raw, total, mode, npts=npts_c, anchors=anch_k,
-                           out=flat_pts[pos:pos + total], qscale=qscale)
-            if sraw is not None:
-                flat_scal[pos:pos + total] = _decode_scalars(sraw, total)
-            pos += total
+    pos = 0
+    for (raw, sraw), (_, sbuf, total, npts_c, anch_k) in zip(
+            fetched(), live):
+        _decode_points(raw, total, mode, npts=npts_c, anchors=anch_k,
+                       out=flat_pts[pos:pos + total], qscale=qscale)
+        if sraw is not None:
+            flat_scal[pos:pos + total] = _decode_scalars(sraw, total)
+        pos += total
 
     # Build the Tract (packed fast path; list view materializes lazily)
     tr.set_packed(flat_pts, npts, scalars=flat_scal)
@@ -756,7 +773,7 @@ class StreamWork:
                       f"volume ({fa_min}, {fa_max})")
             mask_array = mask_array & (favol >= cfg.fa_thresh)
 
-        if self.device_peaks is not None:
+        if self.device_peaks is not None and cfg.f_thresh > 0:
             # f-range sanity warning from the device amplitudes (two
             # scalar fetches; mirrors the host-volume quantile check)
             pk = self.device_peaks
