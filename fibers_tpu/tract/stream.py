@@ -552,7 +552,11 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
 
     def fetched():
         """(raw, sraw) per live chunk — prefetched one ahead on hosts
-        with CPU to spare, strictly sequential otherwise."""
+        with CPU to spare; on low-CPU hosts ALL chunks are fetched
+        up-front instead: the runtime spins host CPU while ANY device
+        op is outstanding, so decode/pack only run at full speed once
+        the device is completely drained (the raw wire buffers are
+        hundreds of MB — cheap against host RAM)."""
         if overlap:
             with ThreadPoolExecutor(1) as pool:
                 futs = [pool.submit(fetch_pair, buf, sbuf, total)
@@ -560,8 +564,8 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
                 for fut in futs:
                     yield fut.result()
         else:
-            for buf, sbuf, total, _n, _a in live:
-                yield fetch_pair(buf, sbuf, total)
+            yield from [fetch_pair(buf, sbuf, total)
+                        for buf, sbuf, total, _n, _a in live]
 
     if cfg.trk_sink is not None:
         # Write each chunk's lines to the .trk as it is fetched+decoded;

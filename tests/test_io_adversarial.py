@@ -1,0 +1,223 @@
+"""Adversarial I/O corpus: files written the way OTHER tools write them.
+
+Every fixture here is hand-crafted at the byte level (independent of
+fibers_tpu's own writers) to mimic third-party conventions the readers
+must tolerate in the wild — FSL-style qform-only NIfTIs, sform-only
+headers, big-endian files from old scanners, scl-rescaled integer data,
+and Bruker trees with the optional keys real datasets omit.
+(reference tolerance logic: src/mri.jl:1394-1558)
+"""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+import fibers_tpu as ft
+from fibers_tpu.core.mri import nifti1_dtype
+
+
+def _blank_hdr(bo="<"):
+    rec = np.zeros((), dtype=nifti1_dtype(bo))[()]
+    rec["sizeof_hdr"] = 348
+    rec["regular"] = ord("r")
+    rec["magic"] = b"n+1\0"
+    rec["vox_offset"] = 352
+    return rec
+
+
+def _write_nii(path, rec, data, bo="<"):
+    with open(path, "wb") as f:
+        f.write(rec.tobytes())
+        f.write(b"\0\0\0\0")                      # extension flag
+        # NIfTI stores x fastest: Fortran byte order over (x, y, z)
+        f.write(data.astype(bo + data.dtype.str[1:]).tobytes(order="F"))
+
+
+class TestForeignNIfTI:
+    def _vol(self, rng, shape=(7, 6, 5)):
+        return (rng.random(shape) * 100).astype(np.float32)
+
+    def test_qform_only_with_negative_qfac(self, tmp_path, rng):
+        """FSL-style file: sform_code=0, geometry only in the quaternion,
+        qfac=-1 (pixdim[0] < 0) flipping the k column."""
+        vol = self._vol(rng)
+        rec = _blank_hdr()
+        rec["dim"] = [3, *vol.shape, 1, 1, 1, 1]
+        rec["datatype"] = 16                      # float32
+        rec["bitpix"] = 32
+        rec["pixdim"] = [-1.0, 2.0, 2.0, 3.0, 0, 0, 0, 0]
+        rec["qform_code"] = 1
+        rec["sform_code"] = 0
+        # pure 90-degree rotation about x: (a, b, c, d) = (cos45, sin45, 0, 0)
+        a = np.cos(np.pi / 4)
+        rec["quatern_b"] = np.sin(np.pi / 4)
+        rec["quatern_c"] = 0.0
+        rec["quatern_d"] = 0.0
+        rec["quatern_x"] = 10.0
+        rec["quatern_y"] = -20.0
+        rec["quatern_z"] = 5.0
+        p = str(tmp_path / "qform.nii")
+        _write_nii(p, rec, vol)
+
+        mri = ft.mri_read(p)
+        np.testing.assert_allclose(np.asarray(mri.vol), vol, rtol=1e-6)
+        # independent quaternion expansion (b=sin45 about x), qfac=-1
+        b = float(np.sin(np.pi / 4))
+        R = np.array([[1.0, 0, 0],
+                      [0, 1 - 2 * b * b, -2 * a * b],
+                      [0, 2 * a * b, 1 - 2 * b * b]])
+        want = R @ np.diag([2.0, 2.0, -3.0])
+        np.testing.assert_allclose(mri.vox2ras0[:3, :3], want, atol=1e-5)
+        np.testing.assert_allclose(mri.vox2ras0[:3, 3], [10, -20, 5],
+                                   atol=1e-5)
+        np.testing.assert_allclose(mri.volres, [2, 2, 3], atol=1e-6)
+
+    def test_sform_overrides_qform(self, tmp_path, rng):
+        """Both codes set with DIFFERENT geometries: sform wins
+        (reference: src/mri.jl:1539-1555)."""
+        vol = self._vol(rng)
+        rec = _blank_hdr()
+        rec["dim"] = [3, *vol.shape, 1, 1, 1, 1]
+        rec["datatype"] = 16
+        rec["bitpix"] = 32
+        rec["pixdim"] = [1.0, 1.0, 1.0, 1.0, 0, 0, 0, 0]
+        rec["qform_code"] = 1                     # identity quaternion
+        rec["sform_code"] = 2
+        rec["srow_x"] = [0.0, -1.5, 0.0, 7.0]
+        rec["srow_y"] = [0.0, 0.0, 1.5, -8.0]
+        rec["srow_z"] = [-1.5, 0.0, 0.0, 9.0]
+        p = str(tmp_path / "sform.nii")
+        _write_nii(p, rec, vol)
+
+        mri = ft.mri_read(p)
+        want = np.array([[0, -1.5, 0, 7], [0, 0, 1.5, -8],
+                         [-1.5, 0, 0, 9], [0, 0, 0, 1]], np.float32)
+        np.testing.assert_allclose(mri.vox2ras0, want, atol=1e-5)
+
+    def test_neither_form_warns_and_reads(self, tmp_path, rng, capsys):
+        vol = self._vol(rng)
+        rec = _blank_hdr()
+        rec["dim"] = [3, *vol.shape, 1, 1, 1, 1]
+        rec["datatype"] = 16
+        rec["bitpix"] = 32
+        rec["pixdim"] = [1.0, 2.0, 2.0, 2.0, 0, 0, 0, 0]
+        p = str(tmp_path / "noform.nii")
+        _write_nii(p, rec, vol)
+        mri = ft.mri_read(p)
+        assert "neither sform or qform" in capsys.readouterr().out
+        np.testing.assert_allclose(np.asarray(mri.vol), vol, rtol=1e-6)
+
+    def test_big_endian_scaled_int16(self, tmp_path, rng):
+        """Big-endian int16 file with scl_slope/scl_inter, as old SPM /
+        Analyze-lineage tools wrote them."""
+        raw = (rng.random((6, 5, 4)) * 1000).astype(np.int16)
+        rec = _blank_hdr(">")
+        rec["dim"] = [3, *raw.shape, 1, 1, 1, 1]
+        rec["datatype"] = 4                        # int16
+        rec["bitpix"] = 16
+        rec["pixdim"] = [1.0, 1.0, 1.0, 1.0, 0, 0, 0, 0]
+        rec["sform_code"] = 1
+        rec["srow_x"] = [1.0, 0, 0, 0]
+        rec["srow_y"] = [0, 1.0, 0, 0]
+        rec["srow_z"] = [0, 0, 1.0, 0]
+        rec["scl_slope"] = 2.5
+        rec["scl_inter"] = -3.0
+        p = str(tmp_path / "be.nii")
+        _write_nii(p, rec, raw, bo=">")
+
+        mri = ft.mri_read(p)
+        # like the reference (src/mri.jl:1665-1669), rescaling preserves
+        # the on-disk numeric class: integers round back to int16
+        want = np.rint(raw.astype(np.float64) * 2.5 - 3.0).astype(np.int16)
+        np.testing.assert_array_equal(np.asarray(mri.vol), want)
+
+    def test_gzipped_foreign_file(self, tmp_path, rng):
+        vol = self._vol(rng)
+        rec = _blank_hdr()
+        rec["dim"] = [3, *vol.shape, 1, 1, 1, 1]
+        rec["datatype"] = 16
+        rec["bitpix"] = 32
+        rec["pixdim"] = [1.0, 1.0, 1.0, 1.0, 0, 0, 0, 0]
+        rec["sform_code"] = 1
+        rec["srow_x"] = [1.0, 0, 0, 0]
+        rec["srow_y"] = [0, 1.0, 0, 0]
+        rec["srow_z"] = [0, 0, 1.0, 0]
+        p_nii = str(tmp_path / "f.nii")
+        _write_nii(p_nii, rec, vol)
+        p_gz = str(tmp_path / "g.nii.gz")
+        with open(p_nii, "rb") as src, gzip.open(p_gz, "wb") as dst:
+            dst.write(src.read())
+        mri = ft.mri_read(p_gz)
+        np.testing.assert_allclose(np.asarray(mri.vol), vol, rtol=1e-6)
+
+    def test_truncated_header_raises(self, tmp_path):
+        p = str(tmp_path / "trunc.nii")
+        with open(p, "wb") as f:
+            f.write(b"\x5c\x01\x00\x00" + b"\0" * 100)
+        with pytest.raises(Exception):
+            ft.mri_read(p)
+
+
+class TestForeignBruker:
+    def _tree(self, tmp_path, *, with_method=True, with_visu=True,
+              with_slope=True, nslices=4, matrix=(8, 6)):
+        """Minimal ParaVision-shaped study dir, omitting optional pieces
+        real exports sometimes lack."""
+        study = tmp_path / "1"
+        pdata = study / "pdata" / "1"
+        os.makedirs(pdata)
+        nx, ny = matrix
+        if with_method:
+            (study / "method").write_text(
+                "##$PVM_SpatResol=( 2 )\n0.15 0.15\n"
+                f"##$PVM_Matrix=( 2 )\n{nx} {ny}\n"
+                "##$PVM_SliceThick=0.5\n"
+                f"##$PVM_SPackArrNSlices=( 1 )\n{nslices}\n"
+                "##$PVM_RepetitionTime=2500\n")
+        (study / "acqp").write_text(
+            "##$ACQ_sw_version=<PV 6.0.1>\n"
+            "##$RG=101\n")
+        reco_lines = [
+            "##$RECO_image_type=MAGNITUDE_IMAGE",
+            "##$RECO_wordtype=_16BIT_SGN_INT",
+            "##$RECO_byte_order=littleEndian",
+            "##$RECO_map_offset=( 1 )",
+            "0",
+        ]
+        if with_slope:
+            reco_lines += ["##$RECO_map_slope=( 1 )", "2"]
+        (pdata / "reco").write_text("\n".join(reco_lines) + "\n")
+        if with_visu:
+            (pdata / "visu_pars").write_text(
+                "##$VisuCoreSize=( 2 )\n"
+                f"{nx} {ny}\n"
+                "##$VisuCoreExtent=( 2 )\n1.2 0.9\n"
+                "##$VisuCoreOrientation=( 1, 9 )\n"
+                "1 0 0 0 1 0 0 0 1\n"
+                "##$VisuCorePosition=( 1, 3 )\n0 0 0\n")
+        data = (np.arange(nx * ny * nslices) % 251).astype("<i2")
+        (pdata / "2dseq").write_bytes(data.tobytes())
+        return str(study), data, (nx, ny, nslices)
+
+    def test_minimal_tree_reads(self, tmp_path):
+        study, data, (nx, ny, ns) = self._tree(tmp_path)
+        mri = ft.mri_read(study)
+        assert mri.vol.shape[:3] == (nx, ny, ns)
+        # slope applied
+        got = np.asarray(mri.vol).reshape(-1, order="F")
+        assert np.isfinite(got).all()
+
+    def test_missing_visu_pars(self, tmp_path):
+        """Exports without visu_pars must still read (geometry defaults
+        from method), not crash."""
+        study, data, dims = self._tree(tmp_path, with_visu=False)
+        mri = ft.mri_read(study)
+        assert mri.vol.shape[:3] == dims
+
+    def test_missing_reco_slope(self, tmp_path):
+        """RECO_map_slope omitted -> unit slope."""
+        study, data, dims = self._tree(tmp_path, with_slope=False)
+        mri = ft.mri_read(study)
+        assert np.isfinite(np.asarray(mri.vol)).all()
