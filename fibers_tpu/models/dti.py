@@ -89,12 +89,18 @@ def _masked_wls(signals, A, ib0):
     colnorm = jnp.sqrt((A * A).sum(axis=0))
     As = A / colnorm[None, :]
 
-    # G = As^T diag(w) As  [N, p, p];  rhs = As^T (w .* logs)  [N, p]
-    # HIGHEST precision: these solves need true f32 accumulation on the MXU
-    # (default bf16-input matmuls lose ~1e-2 relative here).
-    g = jnp.einsum("nv,vi,vj->nij", w, As, As,
-                   precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32)
+    # G = As^T diag(w) As  [N, p, p];  rhs = As^T (w .* logs)  [N, p].
+    # G contracts as ONE dense [N, nvol] x [nvol, p^2] GEMM against the
+    # precomputed per-volume outer products — the per-voxel einsum form
+    # lowers to N tiny 7x7 contractions that leave the MXU ~idle.
+    # HIGHEST precision: these solves need true f32 accumulation on the
+    # MXU (default bf16-input matmuls lose ~1e-2 relative here).
+    b_outer = (As[:, :, None] * As[:, None, :]).reshape(
+        A.shape[0], nparam * nparam)
+    g = jnp.dot(w, b_outer,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32).reshape(
+        -1, nparam, nparam)
     rhs = jnp.einsum("nv,vi->ni", w * logs, As,
                      precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)

@@ -1,0 +1,57 @@
+#!/bin/bash
+# Autonomous clean-window benchmark recorder for the tunneled TPU.
+#
+# Loops: probe the weather (tools/weather.py); when a window is clean,
+# run the next unrecorded benchmark from the queue and append its output
+# to $OUTDIR.  One benchmark per clean probe (windows can collapse in
+# minutes); re-probes between benchmarks.  Stops when everything has
+# been recorded or $DEADLINE_S elapses.
+#
+#   OUTDIR=/tmp/records_r4 bash tools/record_when_clean.sh
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:/root/.axon_site"
+OUTDIR="${OUTDIR:-/tmp/records_r4}"
+DEADLINE_S="${DEADLINE_S:-14400}"
+mkdir -p "$OUTDIR"
+START=$(date +%s)
+
+have() { [ -s "$OUTDIR/$1" ] && grep -q '"metric"\|"value"' "$OUTDIR/$1"; }
+
+run_one() {
+    name="$1"; shift
+    echo "[$(date +%H:%M:%S)] running $name" >> "$OUTDIR/log"
+    timeout 2400 "$@" > "$OUTDIR/$name.tmp" 2> "$OUTDIR/$name.err"
+    rc=$?
+    if [ $rc -eq 0 ]; then
+        mv "$OUTDIR/$name.tmp" "$OUTDIR/$name"
+        echo "[$(date +%H:%M:%S)] $name done" >> "$OUTDIR/log"
+    else
+        echo "[$(date +%H:%M:%S)] $name rc=$rc" >> "$OUTDIR/log"
+    fi
+}
+
+while :; do
+    now=$(date +%s)
+    [ $((now - START)) -gt "$DEADLINE_S" ] && break
+    if have e2e.json && have mfu.json && have dsi.json && have rumba.json
+    then break; fi
+
+    w=$(timeout 600 python tools/weather.py 2>/dev/null | tail -1)
+    echo "[$(date +%H:%M:%S)] weather: $w" >> "$OUTDIR/log"
+    if echo "$w" | grep -q '"clean": true'; then
+        if ! have mfu.json; then          # fastest first: ~2 min
+            run_one mfu.json python benchmarks/bench_mfu.py
+        elif ! have dsi.json; then        # ~3 min
+            run_one dsi.json python benchmarks/bench_models.py --config 3
+        elif ! have e2e.json; then        # ~8 min
+            FIBERS_PROFILE=1 run_one e2e.json python bench.py
+        else                              # ~6 min at 200 iters x3 scale
+            run_one rumba.json python benchmarks/bench_models.py \
+                --config 4 --chain-stream
+        fi
+    else
+        sleep 420
+    fi
+done
+echo "[$(date +%H:%M:%S)] recorder exiting" >> "$OUTDIR/log"
