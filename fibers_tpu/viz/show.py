@@ -142,8 +142,15 @@ def disp(mri: MRI, mrimod: Optional[MRI] = None) -> None:
     nsub = max(1, int(np.ceil(sl.shape[0] / cols)))
     sl = sl[::nsub, ::nsub]
 
-    # 3-frame slices may be vector maps; otherwise display the first frame
-    rgb, kind = vol_to_rgb(sl if sl.shape[-1] == 3 else sl[..., 0])
+    # 3-frame slices may be vector maps; otherwise display the first
+    # frame, normalized by the slice's ALL-frame max like the reference
+    # (vol_to_rgb runs on every frame before frame 1 is kept,
+    # src/show.jl:169-172)
+    if sl.shape[-1] == 3:
+        rgb, kind = vol_to_rgb(sl)
+    else:
+        rgb, kind = vol_to_rgb(
+            sl[..., 0], maxint=float(sl.max()) if sl.max() > 0 else None)
 
     # Zero voxels are transparent (alpha channel in the reference,
     # src/show.jl:188-191): render them as the terminal default colors

@@ -110,3 +110,58 @@ class TestView:
         assert fig is not None
         import matplotlib.pyplot as plt
         plt.close(fig)
+
+
+class TestDispModulation:
+    def test_disp_modulation_parity(self, monkeypatch, capsys):
+        """disp(mri, mrimod): alpha-transparent zeros + intensity
+        modulation must reproduce the reference compositing
+        (src/show.jl:174-208): rgb = (slice / slice_allframe_max) *
+        (mod_slice / global_mod_max), alpha from pre-modulation zeros."""
+        from fibers_tpu.viz import show as vshow
+
+        cap = {}
+        monkeypatch.setattr(
+            vshow, "_ansi_show",
+            lambda rgb, alpha=None: cap.update(rgb=rgb, alpha=alpha))
+
+        rng = np.random.default_rng(3)
+        vol = np.zeros((8, 7, 5, 2), np.float32)
+        # nonzero block at known location: x 2..5, y 1..4, all z
+        block = (rng.random((4, 4, 5, 2)) * 50 + 1).astype(np.float32)
+        vol[2:6, 1:5, :, :] = block
+        vol[3, 2, 2, 0] = 0.0                     # a transparent hole
+        mri = ft.MRI(vol=vol)
+        mri.vox2ras0 = np.eye(4, dtype=np.float32)
+        mri.volsize = np.asarray(vol.shape[:3])
+        mri.width, mri.height, mri.depth = vol.shape[:3]
+        mri.nframes = 2
+        mri.set_geometry()
+
+        modv = (rng.random(vol.shape[:3]) * 3).astype(np.float32)
+        modm = ft.MRI.like(mri, 1, np.float32)
+        modm.vol = modv
+
+        ft.disp(mri, modm)
+
+        iz = 2                                    # middle of 5 slices
+        sl = vol[2:6, 1:5, iz, :]                 # known crop
+        want_gray = sl[..., 0] / sl.max()         # all-frame slice max
+        want = want_gray[..., None] * np.ones(3)
+        want = want * (modv[2:6, 1:5, iz]
+                       / modv.max())[..., None]
+        np.testing.assert_allclose(cap["rgb"], np.clip(want, 0, 1),
+                                   atol=1e-6)
+        np.testing.assert_array_equal(cap["alpha"], sl[..., 0] != 0)
+
+    def test_disp_modulation_dim_mismatch(self):
+        vol = np.ones((4, 4, 3), np.float32)
+        mri = ft.MRI(vol=vol)
+        mri.vox2ras0 = np.eye(4, dtype=np.float32)
+        mri.volsize = np.asarray(vol.shape)
+        mri.width, mri.height, mri.depth = vol.shape
+        mri.nframes = 1
+        mri.set_geometry()
+        bad = ft.MRI(vol=np.ones((5, 4, 3), np.float32))
+        with pytest.raises(ValueError, match="Dimension mismatch"):
+            ft.disp(mri, bad)
