@@ -24,7 +24,7 @@ from ..core.lazy import LazyVolume
 from ..core.mri import MRI
 from ..core.odf import ODF, half_sphere
 from ..io.dispatch import mri_write_struct
-from ..ops.masked import gather_frames, mask_indices, pad_rows, scatter_frames
+from ..ops.masked import gather_frames, mask_indices, pad_rows
 from ..ops.peaks import build_neighbors, peak_mask, top_peaks
 
 __all__ = ["DSI", "dsi_rec", "dsi_write"]
@@ -34,12 +34,17 @@ NPEAK = 3
 
 @dataclass
 class DSI:
-    """Outputs of a DSI reconstruction.  (reference: src/dsi.jl:10-15)"""
+    """Outputs of a DSI reconstruction.  (reference: src/dsi.jl:10-15)
+
+    `_peak_dev` keeps the peak batch device-resident for the zero-fetch
+    tractography handoff (core.handoff.DevicePeaks); runtime state,
+    never written by `dsi_write`."""
 
     pdf: MRI
     odf: MRI
     peak: List[MRI]
     qa: List[MRI]
+    _peak_dev: object = None
 
 
 def _dsi_grid(bval: np.ndarray, bvec: np.ndarray, hann_width: int):
@@ -270,7 +275,6 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             rows = jax.device_put(rows, shard_rows)
         return rows
 
-    from ..ops.transfer import to_host
     with prof("dsi.chunks"):
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
@@ -284,21 +288,20 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             qa_parts.append(qa)
             odfmax_d = jnp.maximum(odfmax_d, odfmean.max())
 
-    with prof("dsi.fetch"):
-        m_last = n - (len(vecs_parts) - 1) * chunk if vecs_parts else 0
-        vecs_all = np.concatenate(
-            [to_host(v)[:chunk] for v in vecs_parts[:-1]]
-            + [to_host(v)[:m_last] for v in vecs_parts[-1:]]
-        ) if vecs_parts else np.zeros((0, NPEAK, 3), np.float32)
-        qa_all = np.concatenate(
-            [to_host(q)[:chunk] for q in qa_parts[:-1]]
-            + [to_host(q)[:m_last] for q in qa_parts[-1:]]
-        ) if qa_parts else np.zeros((0, NPEAK), np.float32)
-        odfmax = float(np.asarray(odfmax_d))
-
-    # Global QA normalization (reference: src/dsi.jl:263-267)
-    if odfmax > 0:
-        qa_all /= odfmax
+    # Concatenate the chunked device outputs (padding rows only exist in
+    # the final chunk, so order is preserved) and apply the global QA
+    # normalization on device (reference: src/dsi.jl:263-267); peaks/qa
+    # stay device-resident like the other large outputs.
+    with prof("dsi.finalize"):
+        if vecs_parts:
+            vecs_dev = vecs_parts[0] if len(vecs_parts) == 1 else \
+                jnp.concatenate(vecs_parts, axis=0)
+            qa_raw = qa_parts[0] if len(qa_parts) == 1 else \
+                jnp.concatenate(qa_parts, axis=0)
+            qa_dev = jnp.where(odfmax_d > 0, qa_raw / odfmax_d, qa_raw)
+        else:
+            vecs_dev = jnp.zeros((0, NPEAK, 3), jnp.float32)
+            qa_dev = jnp.zeros((0, NPEAK), jnp.float32)
 
     shape3 = mask.vol.shape[:3]
 
@@ -326,13 +329,16 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     peak, qa = [], []
     for ip in range(NPEAK):
         pm = MRI.like(mask, 3, np.float32)
-        pm.vol = scatter_frames(vecs_all[:, ip, :], idx, shape3)
+        pm.vol = LazyVolume(vecs_dev[:, ip, :], idx, shape3, 3)
         peak.append(pm)
         qm = MRI.like(mask, 1, np.float32)
-        qm.vol = scatter_frames(qa_all[:, ip], idx, shape3)
+        qm.vol = LazyVolume(qa_dev[:, ip], idx, shape3, 1)
         qa.append(qm)
 
-    return DSI(pdf=pdf, odf=odf, peak=peak, qa=qa)
+    from ..core.handoff import DevicePeaks
+    return DSI(pdf=pdf, odf=odf, peak=peak, qa=qa,
+               _peak_dev=DevicePeaks(vecs=vecs_dev, amp=qa_dev, idx=idx,
+                                     ref=mask))
 
 
 def dsi_write(dsi: DSI, basename: str) -> None:

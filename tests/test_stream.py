@@ -687,3 +687,39 @@ class TestDevicePeaksHandoff:
         pk = ft.peaks_to_ovecs(gqi, device=True)
         with pytest.raises(ValueError, match="mask"):
             ft.stream(pk, nsub=1)
+
+    def test_dsi_handoff_matches_host_path(self):
+        import sys
+        sys.path.insert(0, "/root/repo/benchmarks")
+        from bench_models import dsi_qgrid
+        import numpy as np
+        rng = np.random.default_rng(0)
+        bval, bvec = dsi_qgrid(3)
+        shape = (10, 10, 8)
+        x, y, z = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
+                              indexing="ij")
+        mask_a = (x**2 + y**2 + z**2) < 0.95
+        th = 0.8 * x
+        ax = np.stack([np.cos(th), np.sin(th), np.zeros_like(th)], -1)
+        dots = np.einsum("xyzi,vi->xyzv", ax, bvec.astype(np.float32))
+        vol = (100.0 * np.exp(-bval * (3e-4 + 1.4e-3 * dots**2))
+               ).astype(np.float32) * mask_a[..., None]
+        dwi = ft.MRI(vol=vol)
+        dwi.vox2ras0 = np.eye(4, dtype=np.float32)
+        dwi.volsize = np.asarray(shape)
+        dwi.width, dwi.height, dwi.depth = shape
+        dwi.nframes = len(bval)
+        dwi.set_geometry()
+        dwi.bval, dwi.bvec = bval, bvec
+        maskm = ft.MRI.like(dwi, 1, np.float32)
+        maskm.vol = mask_a.astype(np.float32)
+
+        dsi = ft.dsi_rec(dwi, maskm, ft.sphere_362)
+        ovecs, fs = ft.peaks_to_ovecs(dsi)
+        host = ft.stream(ovecs, f=fs, mask=maskm, nsub=1, f_thresh=0.0)
+        pk = ft.peaks_to_ovecs(dsi, device=True)
+        dev = ft.stream(pk, mask=maskm, nsub=1, f_thresh=0.0)
+        n_h, p_h = self._tract_arrays(host)
+        n_d, p_d = self._tract_arrays(dev)
+        assert n_d == n_h and n_h > 0
+        np.testing.assert_array_equal(p_d, p_h)
