@@ -201,18 +201,32 @@ def to_device_rows(producer, n_rows: int, row_bytes: int):
     progress is re-produced and re-uploaded on a spare thread while the
     original call may still be executing, and whichever copy finishes
     first wins.  A stateful producer (e.g. one consuming a stream)
-    would corrupt the batch."""
+    would corrupt the batch.
+
+    On hosts with <=2 CPU cores every slab is produced FIRST and the
+    uploads submitted afterwards: the tunnel RPC client busy-polls a
+    core per in-flight transfer, so producer CPU work (gather,
+    quantization) running concurrently with uploads starves both."""
+    import os
+
     import jax.numpy as jnp
 
     rows = max(1, _UP_CHUNK_BYTES // max(1, row_bytes))
     if n_rows <= rows:
         return jax.device_put(producer(0, n_rows))
 
-    def slab(lo, hi):
-        return jax.device_put(producer(lo, hi))
-
     spans = [(lo, min(lo + rows, n_rows))
              for lo in range(0, n_rows, rows)]
+
+    if (os.cpu_count() or 1) <= 2:
+        hostparts = {s: producer(*s) for s in spans}
+
+        def slab(lo, hi):
+            return jax.device_put(hostparts[(lo, hi)])
+    else:
+        def slab(lo, hi):
+            return jax.device_put(producer(lo, hi))
+
     futs = [_get_upool().submit(slab, lo, hi) for lo, hi in spans]
     parts = list(_hedged_results(
         futs, spans, resubmit=lambda s: slab(*s),
