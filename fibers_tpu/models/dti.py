@@ -107,10 +107,44 @@ def _masked_wls(signals, A, ib0):
 
     eye = jnp.eye(nparam, dtype=signals.dtype)
     g = jnp.where(valid[:, None, None], g, eye)
-    d = jax.scipy.linalg.cho_solve(
-        (jnp.linalg.cholesky(g + 1e-8 * eye), True), rhs[..., None])[..., 0]
+    d = _chol_solve_small(g + 1e-8 * eye, rhs)
     d = d / colnorm[None, :]
     return d, valid
+
+
+def _chol_solve_small(g, rhs):
+    """Batched SPD solve for a small static p (the 7-param tensor fit),
+    fully unrolled into [N]-vector ops.
+
+    jnp.linalg.cholesky + cho_solve on [N, 7, 7] batches lowers to a
+    loop-heavy LAPACK-shaped program that costs ~40x the normal-equation
+    GEMM on TPU (measured 208 ms vs 36 ms at N=262k); the unrolled
+    Cholesky + two substitutions are ~250 fusable elementwise ops on
+    [N] vectors instead."""
+    p = g.shape[-1]
+    L = [[None] * p for _ in range(p)]
+    for i in range(p):
+        for j in range(i + 1):
+            s = g[:, i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * p
+    for i in range(p):
+        s = rhs[:, i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * p
+    for i in reversed(range(p)):
+        s = y[i]
+        for k in range(i + 1, p):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=1)
 
 
 def dti_maps(eigval1, eigval2, eigval3):
