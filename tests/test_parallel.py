@@ -312,3 +312,28 @@ class TestMeshEdgeCases:
         mem.materialize()
         for i in range(0, mem.n_count, max(1, mem.n_count // 10)):
             np.testing.assert_allclose(back.xyz[i], mem.xyz[i], atol=1e-4)
+
+
+class TestDevicePeaksSharded:
+    def test_handoff_stream_sharded_equals_local(self):
+        """DevicePeaks handoff composes with stream(mesh=): the device-
+        built orientation field replicates across the mesh and the
+        sharded tract matches the local one."""
+        _require_devices(8)
+        import fibers_tpu as ft
+
+        from fibers_tpu.parallel.mesh import make_mesh
+        from phantom import make_phantom
+
+        dwi, mask, _, _ = make_phantom(shape=(10, 10, 10), ndir=30)
+        gqi = ft.gqi_rec(dwi, mask, ft.sphere_362)
+        pk = ft.peaks_to_ovecs(gqi, device=True)
+
+        local = ft.stream(pk, mask=mask, nsub=1, f_thresh=0.0)
+        sharded = ft.stream(pk, mask=mask, nsub=1, f_thresh=0.0,
+                            mesh=make_mesh(8))
+        ln, sn = np.asarray(local.npts), np.asarray(sharded.npts)
+        np.testing.assert_array_equal(ln, sn)
+        for i in range(0, len(ln), max(1, len(ln) // 10)):
+            np.testing.assert_allclose(sharded.xyz[i], local.xyz[i],
+                                       atol=1e-6)
