@@ -67,7 +67,10 @@ def main():
     t_wire = time.time() - t0
     mbs = 16.0 / max(t_wire, 1e-9)
 
-    clean = tflops > 8.0 and t_tv < 0.12 and mbs > 20.0
+    # Gates: exec best-ever observed ~8.6 on this skinny-GEMM probe, TV
+    # best ~35 ms, wire 30-90 MB/s in good windows.  The e2e benchmarks
+    # are wire-bound, so the wire gate carries the most weight.
+    clean = tflops > 7.0 and t_tv < 0.055 and mbs > 25.0
     print(json.dumps({
         "clean": bool(clean),
         "exec_tflops": round(tflops, 1),
