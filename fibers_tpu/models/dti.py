@@ -208,11 +208,11 @@ def adc_fit(dwi: MRI, mask: MRI, batch=None):
     A = _design_adc(np.asarray(dwi.bval, np.float32))
     ib0 = (dwi.bval == dwi.bval.min()).astype(np.float32)
 
-    adc_v, s0_v = _adc_kernel(jnp.asarray(signals), jnp.asarray(A),
+    adc_d, s0_d = _adc_kernel(jnp.asarray(signals), jnp.asarray(A),
                               jnp.asarray(ib0))
     from ..ops.transfer import to_host
-    adc_v = to_host(adc_v, n_lead=len(idx))
-    s0_v = to_host(s0_v, n_lead=len(idx))
+    both = to_host(jnp.stack([adc_d, s0_d]))     # one round trip, not two
+    adc_v, s0_v = both[0, :len(idx)], both[1, :len(idx)]
 
     shape3 = mask.vol.shape[:3]
     adc = MRI.like(mask, 1, np.float32)
