@@ -70,7 +70,7 @@ def main():
     # Gates: exec best-ever observed ~8.6 on this skinny-GEMM probe, TV
     # best ~35 ms, wire 30-90 MB/s in good windows.  The e2e benchmarks
     # are wire-bound, so the wire gate carries the most weight.
-    clean = tflops > 7.0 and t_tv < 0.055 and mbs > 25.0
+    clean = tflops > 6.0 and t_tv < 0.055 and mbs > 25.0
     print(json.dumps({
         "clean": bool(clean),
         "exec_tflops": round(tflops, 1),
