@@ -18,6 +18,12 @@ START=$(date +%s)
 
 have() { [ -s "$OUTDIR/$1" ] && grep -q '"metric"\|"value"' "$OUTDIR/$1"; }
 
+# a benchmark that failed twice (wedged RPCs eat its whole timeout)
+# stops blocking the rest of the queue
+gaveup() { [ -f "$OUTDIR/$1.attempts" ] \
+    && [ "$(cat "$OUTDIR/$1.attempts")" -ge 2 ]; }
+want() { ! have "$1" && ! gaveup "$1"; }
+
 run_one() {
     name="$1"; shift
     echo "[$(date +%H:%M:%S)] running $name" >> "$OUTDIR/log"
@@ -27,26 +33,30 @@ run_one() {
         mv "$OUTDIR/$name.tmp" "$OUTDIR/$name"
         echo "[$(date +%H:%M:%S)] $name done" >> "$OUTDIR/log"
     else
-        echo "[$(date +%H:%M:%S)] $name rc=$rc" >> "$OUTDIR/log"
+        n=0; [ -f "$OUTDIR/$name.attempts" ] && n=$(cat "$OUTDIR/$name.attempts")
+        echo $((n + 1)) > "$OUTDIR/$name.attempts"
+        echo "[$(date +%H:%M:%S)] $name rc=$rc (attempt $((n + 1)))" \
+            >> "$OUTDIR/log"
     fi
 }
 
 while :; do
     now=$(date +%s)
     [ $((now - START)) -gt "$DEADLINE_S" ] && break
-    if have e2e.json && have mfu.json && have dsi.json && have rumba.json
+    if ! want e2e.json && ! want mfu.json && ! want dsi.json \
+        && ! want rumba.json
     then break; fi
 
     w=$(timeout 600 python tools/weather.py 2>/dev/null | tail -1)
     echo "[$(date +%H:%M:%S)] weather: $w" >> "$OUTDIR/log"
     if echo "$w" | grep -q '"clean": true'; then
-        if ! have mfu.json; then          # fastest first: ~2 min
+        if want mfu.json; then            # fastest first: ~2 min
             run_one mfu.json python benchmarks/bench_mfu.py
-        elif ! have dsi.json; then        # ~3 min
-            run_one dsi.json python benchmarks/bench_models.py --config 3
-        elif ! have e2e.json; then        # ~8 min
+        elif want e2e.json; then          # the headline: ~8 min
             FIBERS_PROFILE=1 run_one e2e.json python bench.py
-        else                              # ~6 min at 200 iters x3 scale
+        elif want dsi.json; then          # ~3 min
+            run_one dsi.json python benchmarks/bench_models.py --config 3
+        elif want rumba.json; then        # longest last
             run_one rumba.json python benchmarks/bench_models.py \
                 --config 4 --chain-stream
         fi
