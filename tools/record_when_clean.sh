@@ -54,11 +54,12 @@ while :; do
             run_one mfu.json python benchmarks/bench_mfu.py
         elif want e2e.json; then          # the headline: ~8 min
             FIBERS_PROFILE=1 run_one e2e.json python bench.py
+        elif want rumba.json; then        # the open VERDICT target
+            FIBERS_PROFILE=1 run_one rumba.json \
+                python benchmarks/bench_models.py --config 4 --chain-stream
         elif want dsi.json; then          # ~3 min
-            run_one dsi.json python benchmarks/bench_models.py --config 3
-        elif want rumba.json; then        # longest last
-            run_one rumba.json python benchmarks/bench_models.py \
-                --config 4 --chain-stream
+            FIBERS_PROFILE=1 run_one dsi.json \
+                python benchmarks/bench_models.py --config 3
         fi
     else
         sleep 420
