@@ -792,11 +792,13 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             fodf_full, f_iso_d, jnp.asarray(half_verts), jnp.asarray(nbr),
             jnp.asarray(nbr_ok), FTHRESH)
 
-        # one stacked fetch for the three scalar maps (3 round trips -> 1)
+        # one stacked fetch for the four scalar maps (4 round trips -> 1;
+        # each small fetch pays seconds of tunnel latency at HCP scale)
         with prof("rumba.maps_fetch"):
-            fff = to_host(jnp.stack([fgm_d, fcsf_d, gfa_d], axis=0))
-        fgm_v, fcsf_v, gfa_v = (fff[0, :nmask], fff[1, :nmask],
-                                fff[2, :nmask])
+            fff = to_host(jnp.stack(
+                [fgm_d, fcsf_d, gfa_d, sig2[:, 0]], axis=0))
+        fgm_v, fcsf_v, gfa_v, var_v = (fff[0, :nmask], fff[1, :nmask],
+                                       fff[2, :nmask], fff[3, :nmask])
 
     def vol_of(arr, nframes):
         m = MRI.like(mask, nframes, np.float32)
@@ -827,7 +829,7 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         fcsf=vol_of(fcsf_v.astype(np.float32), 1),
         peak=peak,
         gfa=vol_of(gfa_v.astype(np.float32), 1),
-        var=vol_of(to_host(sig2, n_lead=nmask)[:, 0], 1),
+        var=vol_of(var_v.astype(np.float32), 1),
         snr_mean=snr_mean,
         snr_std=snr_std,
         _peak_dev=peak_dev,
