@@ -65,6 +65,32 @@ def _signal(mask, ax, bval, bvec, rng):
     return vol
 
 
+def _signal_cached(tag, shape, mask, ax, bval, bvec, rng):
+    """Phantom DWI volume, cached on disk: the synthetic signal build is
+    ~2 min of single-core host time at HCP scale, which would otherwise
+    precede every benchmark attempt (clean windows are short)."""
+    import os
+
+    cache = os.path.join(
+        os.environ.get("FIBERS_BENCH_CACHE", "/tmp"),
+        f"fibers_bench_{tag}_{shape[0]}x{shape[1]}x{shape[2]}_"
+        f"{len(bval)}.npz")
+    if os.path.exists(cache):
+        try:
+            with np.load(cache) as z:
+                if (np.array_equal(z["bval"], bval)
+                        and np.array_equal(z["bvec"], bvec)):
+                    return z["vol"]
+        except Exception:
+            os.remove(cache)
+    vol = _signal(mask, ax, bval, bvec, rng)
+    tmp = cache + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez(f, vol=vol, bval=bval, bvec=bvec)
+    os.replace(tmp, cache)
+    return vol
+
+
 def dsi_qgrid(radius=5):
     """Cartesian q-space sampling within a ball, DSI-style: b scales with
     |q|^2 (reference grid layout: src/dsi.jl:61-85)."""
@@ -92,7 +118,7 @@ def bench_dsi(small):
     bval, bvec = dsi_qgrid(radius)
     sys.stderr.write(f"DSI grid: {len(bval)} q-space samples\n")
     mask, ax = _geometry(shape)
-    vol = _signal(mask, ax, bval, bvec, rng)
+    vol = _signal_cached("dsi", shape, mask, ax, bval, bvec, rng)
     dwi = _mri_of(vol, shape, bval, bvec)
     import fibers_tpu as ft
     maskm = ft.MRI.like(dwi, 1, np.float32)
@@ -117,7 +143,8 @@ def bench_dsi(small):
     }
 
 
-def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False):
+def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False,
+                abort_pace=None):
     import fibers_tpu as ft
 
     rng = np.random.default_rng(0)
@@ -138,7 +165,7 @@ def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False):
     bvec = np.concatenate([np.zeros((nb0, 3)), dirs]).astype(np.float32)
 
     mask, ax = _geometry(shape)
-    vol = _signal(mask, ax, bval, bvec, rng)
+    vol = _signal_cached("rumba", shape, mask, ax, bval, bvec, rng)
     dwi = _mri_of(vol, shape, bval, bvec)
     maskm = ft.MRI.like(dwi, 1, np.float32)
     maskm.vol = mask.astype(np.float32)
@@ -146,7 +173,7 @@ def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False):
 
     t0 = time.time()
     rum = ft.rumba_rec(dwi, maskm, ft.sphere_724, niter=niter,
-                       tv_bf16=tv_bf16)
+                       tv_bf16=tv_bf16, abort_s_per_iter=abort_pace)
     np.asarray(rum.peak[0].vol)   # materialize peaks; fodf stays lazy
     t_rumba = time.time() - t0
     sys.stderr.write(f"rumba_rec {niter} iters: {t_rumba:.1f}s "
@@ -225,14 +252,25 @@ def main():
     ap.add_argument("--chain-stream", action="store_true",
                     help="chain RUMBA peaks into deterministic "
                          "tractography (config 4)")
+    ap.add_argument("--abort-pace", type=float, default=None,
+                    help="abort (exit 3) if the early RUMBA iteration "
+                         "pace exceeds this many s/iter — lets a "
+                         "benchmark runner skip a collapsed-performance "
+                         "window instead of recording it")
     args = ap.parse_args()
 
     if args.config == 3:
         out = bench_dsi(args.small)
     else:
-        out = bench_rumba(args.small, niter=args.niter,
-                          tv_bf16=args.tv_bf16,
-                          chain_stream=args.chain_stream)
+        from fibers_tpu.models.rumba import PaceAbortError
+        try:
+            out = bench_rumba(args.small, niter=args.niter,
+                              tv_bf16=args.tv_bf16,
+                              chain_stream=args.chain_stream,
+                              abort_pace=args.abort_pace)
+        except PaceAbortError as e:
+            sys.stderr.write(f"{e}\n")
+            sys.exit(3)
     from fibers_tpu.utils.profiling import prof_enabled, prof_summary
     if prof_enabled():
         sys.stderr.write(prof_summary() + "\n")

@@ -29,7 +29,14 @@ from ..ops.masked import mask_indices, scatter_frames
 from ..utils.coords import ang2rot, cart2sph
 
 __all__ = ["RUMBASD", "rumba_rec", "rumba_write", "rumba_peaks",
-           "tensor_model", "besseli_ratio"]
+           "tensor_model", "besseli_ratio", "PaceAbortError"]
+
+
+class PaceAbortError(RuntimeError):
+    """Raised by rumba_rec(abort_s_per_iter=...) when the measured
+    early-iteration pace exceeds the budget — used by benchmark runners
+    on runtimes with transient performance collapses (BASELINE.md) to
+    abandon a doomed timed run early instead of recording it."""
 
 NPEAK = 5
 FTHRESH = 0.1
@@ -544,7 +551,8 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
               checkpoint_path: str = None,
               checkpoint_every: int = 0,
               precision: str = "high", batch=None, mesh=None,
-              tv_bf16: bool = False) -> RUMBASD:
+              tv_bf16: bool = False,
+              abort_s_per_iter: float = None) -> RUMBASD:
     """RUMBA-SD reconstruction of DWIs.  (reference: src/rusd.jl:419-636)
 
     With `checkpoint_path` set, the iteration state (fodf, sigma^2, lambda)
@@ -565,6 +573,13 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     automatically from a mesh-sharded `batch`).  `tv_bf16` evaluates the
     TV stencil volumes in bfloat16 (~half the HBM traffic of the
     dominant term; the R-L estimate itself stays float32).
+
+    `abort_s_per_iter`: when set, the wall-clock pace of the first two
+    iteration blocks is measured (one extra scalar sync) and a
+    `PaceAbortError` is raised if it exceeds this many seconds per
+    iteration — for benchmark runners on runtimes whose execution speed
+    can collapse mid-run, so a doomed timed run dies in seconds rather
+    than minutes.  Leave None (default) for production fits.
     """
     if dwi.bval is None or len(dwi.bval) == 0:
         raise ValueError("Missing b-value table from input DWI structure")
@@ -742,6 +757,8 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     # block boundaries.
     snr = 1.0 / jnp.sqrt(sig2)
     it = it_start
+    import time as _time
+    pace_t0 = _time.monotonic()
     with prof("rumba.iterate"):
         while it < niter:
             k = niter - it
@@ -755,6 +772,20 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                 idx_j, k, n_order, ipat_factor, use_tv, tv_shape3, tv_nxyz,
                 precision, mesh, tv_bf16)
             it += k
+            # Pace gate: after two blocks (~50 iters, enough to amortize
+            # the sync's own latency), force completion with one scalar
+            # fetch and compare against the budget.
+            if (abort_s_per_iter is not None
+                    and it - it_start >= 2 * _BLOCK_ITERS
+                    and pace_t0 is not None):
+                np.asarray(sig2[(0,) * sig2.ndim])
+                pace = (_time.monotonic() - pace_t0) / (it - it_start)
+                pace_t0 = None
+                if pace > abort_s_per_iter:
+                    raise PaceAbortError(
+                        f"RUMBA-SD early pace {pace:.3f} s/iter over the "
+                        f"first {it - it_start} iterations exceeds the "
+                        f"abort budget {abort_s_per_iter:.3f} s/iter")
             if verbose:
                 sm = float(snr[:nmask].mean())
                 ss = float(snr[:nmask].std(ddof=1)) if nmask > 1 else 0.0

