@@ -13,7 +13,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.masked import gather_frames, mask_indices, pad_rows, padded_size
+from ..ops.masked import mask_indices, pad_rows, padded_size
 
 __all__ = ["VoxelBatch", "prepare_batch"]
 
@@ -83,6 +83,35 @@ def _quantize_rows(part: np.ndarray, scale: float) -> np.ndarray:
     return (q + 0.5).astype(np.uint16)      # round-half-up, cheaper
 
 
+def _gather_rows(flat: np.ndarray, take: np.ndarray, quantize: bool,
+                 scale: float) -> np.ndarray:
+    """flat[take] as uint16-quantized (or float32) rows, in ONE pass via
+    the native kernel when available.  The numpy expression spends ~5
+    full-size passes (fancy-index copy, astype, multiply, clip, astype);
+    on 1-2 core hosts those sit on the critical path ahead of every
+    upload, ~5-10 s at HCP scale."""
+    from ..native import as_f32_ptr, as_i64_ptr, as_u16_ptr, lib
+
+    l = lib()
+    if (l is not None and flat.dtype == np.float32
+            and flat.flags["C_CONTIGUOUS"] and flat.ndim == 2):
+        n, nvol = len(take), flat.shape[1]
+        take = np.ascontiguousarray(take, np.int64)
+        if quantize:
+            out = np.empty((n, nvol), np.uint16)
+            l.gather_quant_u16(as_f32_ptr(flat), as_i64_ptr(take),
+                               n, nvol, np.float32(1.0 / scale),
+                               as_u16_ptr(out))
+        else:
+            out = np.empty((n, nvol), np.float32)
+            l.gather_rows_f32(as_f32_ptr(flat), as_i64_ptr(take),
+                              n, nvol, as_f32_ptr(out))
+        return out
+    part = flat[take].astype(np.float32, copy=False)
+    return _quantize_rows(part, scale) if quantize else \
+        np.ascontiguousarray(part)
+
+
 def _dq_kernel(x, scale):
     return x.astype(jnp.float32) * scale
 
@@ -137,13 +166,8 @@ def prepare_batch(dwi, mask, mesh=None, wire: str = "auto") -> VoxelBatch:
 
     if mesh is not None:
         with prof("batch.gather"):
-            signals = gather_frames(dwi.vol, idx)
-            if quantize:
-                signals = _quantize_rows(
-                    signals.astype(np.float32, copy=False), scale)
-            else:
-                signals = signals.astype(np.float32)
-            signals = pad_rows(signals, n_pad)
+            signals = pad_rows(_gather_rows(flat, idx, quantize, scale),
+                               n_pad)
         with prof("batch.upload"):
             from ..ops.transfer import sync
             from ..parallel.mesh import batch_sharding
@@ -161,10 +185,8 @@ def prepare_batch(dwi, mask, mesh=None, wire: str = "auto") -> VoxelBatch:
         from ..ops.transfer import sync, to_device_rows
 
         def produce(lo, hi):
-            take = idx[lo:min(hi, len(idx))]
-            part = flat[take].astype(np.float32)
-            if quantize:
-                part = _quantize_rows(part, scale)
+            part = _gather_rows(flat, idx[lo:min(hi, len(idx))],
+                                quantize, scale)
             if hi > len(idx):
                 part = pad_rows(part, hi - lo)
             return part

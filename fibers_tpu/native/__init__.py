@@ -97,6 +97,22 @@ def lib():
         ]
         cdll.decode_delta_lines.restype = None
 
+        cdll.gather_quant_u16.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_uint16),
+        ]
+        cdll.gather_quant_u16.restype = None
+
+        cdll.gather_rows_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        cdll.gather_rows_f32.restype = None
+
         _lib = cdll
         return _lib
 
@@ -115,3 +131,7 @@ def as_i64_ptr(a):
 
 def as_i8_ptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+
+
+def as_u16_ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))

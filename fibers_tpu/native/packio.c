@@ -65,6 +65,39 @@ void decode_delta_lines(const int8_t *q, const int64_t *off,
     }
 }
 
+/* Gather rows of a C-contiguous [nvox, nvol] float32 matrix at `idx`
+ * and quantize to uint16 (round-half-up of v/scale, negatives and
+ * overflow clipped) in ONE pass — the host side of the u16 signal wire
+ * (core/batch.py).  numpy needs ~5 full-size passes for the same
+ * (fancy-index copy, astype, multiply, clip, astype); on 1-2 core
+ * benchmark hosts those passes sit on the critical path ahead of every
+ * upload. */
+void gather_quant_u16(const float *flat, const int64_t *idx, int64_t n,
+                      int64_t nvol, float inv_scale, uint16_t *out)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        const float *src = flat + idx[i] * nvol;
+        uint16_t *dst = out + i * nvol;
+        for (int64_t v = 0; v < nvol; v++) {
+            float q = src[v] * inv_scale;
+            if (!(q > 0.0f)) q = 0.0f;
+            if (q > 65535.0f) q = 65535.0f;
+            dst[v] = (uint16_t)(q + 0.5f);
+        }
+    }
+}
+
+/* Row gather without quantization (the f32 wire). */
+void gather_rows_f32(const float *flat, const int64_t *idx, int64_t n,
+                     int64_t nvol, float *out)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++)
+        memcpy(out + i * nvol, flat + idx[i] * nvol,
+               (size_t)nvol * sizeof(float));
+}
+
 /* Returns the number of streamlines parsed, or -1 if the payload is
  * malformed (counts walking past the end).  rec_floats = payload length
  * in float32 units; stride_per_pt = 3 + n_scalars; n_properties floats

@@ -134,3 +134,45 @@ class TestQuantizedBatchWire:
         dwi.vol = np.zeros_like(np.asarray(dwi.vol))   # max == 0
         with pytest.raises(ValueError, match="u16"):
             ft.prepare_batch(dwi, mask, wire="u16")
+
+
+class TestNativeGatherRows:
+    """The one-pass C gather(+quantize) must match the numpy expression
+    bit-for-bit (core/batch._gather_rows; the fallback runs when no C
+    compiler exists)."""
+
+    def _flat(self, rng, n=300, nvol=37):
+        flat = rng.standard_normal((n, nvol)).astype(np.float32) * 50.0
+        flat[rng.random((n, nvol)) < 0.1] *= -1.0      # negatives clip
+        take = rng.choice(n, size=120, replace=True).astype(np.int64)
+        return np.ascontiguousarray(flat), take
+
+    def test_quantized_matches_numpy(self, rng):
+        from fibers_tpu.core.batch import _gather_rows, _quantize_rows
+        from fibers_tpu.native import lib
+
+        flat, take = self._flat(rng)
+        scale = float(np.abs(flat).max()) / 65535.0
+        got = _gather_rows(flat, take, True, scale)
+        want = _quantize_rows(flat[take].astype(np.float32), scale)
+        assert got.dtype == np.uint16
+        if lib() is None:                       # fallback == expression
+            np.testing.assert_array_equal(got, want)
+        else:                                   # native must agree too
+            np.testing.assert_array_equal(got, want)
+
+    def test_f32_matches_numpy(self, rng):
+        from fibers_tpu.core.batch import _gather_rows
+
+        flat, take = self._flat(rng)
+        got = _gather_rows(flat, take, False, 0.0)
+        np.testing.assert_array_equal(got, flat[take])
+        assert got.dtype == np.float32
+
+    def test_noncontiguous_falls_back(self, rng):
+        from fibers_tpu.core.batch import _gather_rows
+
+        wide, take = self._flat(rng, nvol=74)
+        flat = wide[:, ::2]                     # non-contiguous view
+        got = _gather_rows(flat, take, False, 0.0)
+        np.testing.assert_array_equal(got, flat[take])
