@@ -640,8 +640,30 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             # the host gather/normalize/quantize with the upload.
             quantize = jax.default_backend() != "cpu"
 
+            from ..native import (as_f32_ptr, as_i32_ptr, as_i64_ptr,
+                                  as_u16_ptr, lib)
+            nlib = lib()
+            native_ok = (quantize and nlib is not None
+                         and flat.dtype == np.float32
+                         and flat.flags["C_CONTIGUOUS"])
+            ib0_i = np.ascontiguousarray(np.flatnonzero(ib0), np.int32)
+            idwi_i = np.ascontiguousarray(np.flatnonzero(~ib0), np.int32)
+
             def produce(lo, hi):
-                rows = flat[idx[lo:min(hi, nmask)]]
+                take = idx[lo:min(hi, nmask)]
+                if native_ok:
+                    # one fused pass: gather + b0 normalize + quantize
+                    # (the numpy expression below is ~6 full-size passes
+                    # of host memory ahead of every upload slab)
+                    take = np.ascontiguousarray(take, np.int64)
+                    sig = np.empty((len(take), len(idwi_i) + 1),
+                                   np.uint16)
+                    nlib.rumba_signal_u16(
+                        as_f32_ptr(flat), as_i64_ptr(take), len(take),
+                        flat.shape[1], as_i32_ptr(ib0_i), len(ib0_i),
+                        as_i32_ptr(idwi_i), len(idwi_i), as_u16_ptr(sig))
+                    return sig
+                rows = flat[take]
                 b0_mean = np.maximum(rows[:, ib0], 0).mean(axis=1)
                 dwis = np.maximum(rows[:, ~ib0], 0).astype(np.float32)
                 with np.errstate(invalid="ignore", divide="ignore"):

@@ -113,6 +113,16 @@ def lib():
         ]
         cdll.gather_rows_f32.restype = None
 
+        cdll.rumba_signal_u16.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+        ]
+        cdll.rumba_signal_u16.restype = None
+
         _lib = cdll
         return _lib
 

@@ -88,6 +88,37 @@ void gather_quant_u16(const float *flat, const int64_t *idx, int64_t n,
     }
 }
 
+/* RUMBA-SD signal rows in one pass (models/rumba.py host producer): for
+ * masked voxel row idx[i], average the b0 frames (negatives clipped),
+ * emit the b0>0 flag as column 0 and the b0-normalized DWI frames
+ * clipped to [0,1] in columns 1.., all quantized to the u16 wire
+ * (scale 1/65535).  Matches the numpy expression to the last grid unit
+ * (b0 mean accumulated in double, like numpy's pairwise f32 mean). */
+void rumba_signal_u16(const float *flat, const int64_t *idx, int64_t n,
+                      int64_t nvol, const int32_t *ib0, int64_t nb0,
+                      const int32_t *idwi, int64_t ndwi, uint16_t *out)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        const float *src = flat + idx[i] * nvol;
+        uint16_t *dst = out + i * (ndwi + 1);
+        double acc = 0.0;
+        for (int64_t j = 0; j < nb0; j++) {
+            float v = src[ib0[j]];
+            if (v > 0.0f) acc += v;
+        }
+        float b0 = (float)(acc / (double)nb0);
+        dst[0] = b0 > 0.0f ? 65535 : 0;
+        for (int64_t j = 0; j < ndwi; j++) {
+            float v = src[idwi[j]];
+            if (!(v > 0.0f)) v = 0.0f;
+            float q = b0 > 0.0f ? v / b0 : 0.0f;
+            if (q > 1.0f) q = 1.0f;
+            dst[1 + j] = (uint16_t)(q * 65535.0f + 0.5f);
+        }
+    }
+}
+
 /* Row gather without quantization (the f32 wire). */
 void gather_rows_f32(const float *flat, const int64_t *idx, int64_t n,
                      int64_t nvol, float *out)

@@ -176,3 +176,44 @@ class TestNativeGatherRows:
         flat = wide[:, ::2]                     # non-contiguous view
         got = _gather_rows(flat, take, False, 0.0)
         np.testing.assert_array_equal(got, flat[take])
+
+
+def test_native_rumba_signal_matches_numpy(rng):
+    """rumba_signal_u16 (one fused C pass) vs the numpy expression it
+    replaces — equal to within one quantization grid unit (the b0 mean's
+    accumulation order differs in the last ulp)."""
+    from fibers_tpu.native import (as_f32_ptr, as_i32_ptr, as_i64_ptr,
+                                   as_u16_ptr, lib)
+    import pytest
+
+    if lib() is None:
+        pytest.skip("no C compiler")
+    nvox, nvol = 500, 33
+    flat = np.abs(rng.standard_normal((nvox, nvol))).astype(np.float32)
+    flat *= 80.0
+    flat[rng.random((nvox, nvol)) < 0.05] *= -1.0
+    flat[7] = 0.0                                   # a b0==0 voxel
+    ib0 = np.zeros(nvol, bool)
+    ib0[:4] = True
+    idx = rng.choice(nvox, 200, replace=False).astype(np.int64)
+    idx = np.ascontiguousarray(idx)
+
+    ib0_i = np.ascontiguousarray(np.flatnonzero(ib0), np.int32)
+    idwi_i = np.ascontiguousarray(np.flatnonzero(~ib0), np.int32)
+    got = np.empty((len(idx), len(idwi_i) + 1), np.uint16)
+    lib().rumba_signal_u16(as_f32_ptr(flat), as_i64_ptr(idx), len(idx),
+                           nvol, as_i32_ptr(ib0_i), len(ib0_i),
+                           as_i32_ptr(idwi_i), len(idwi_i),
+                           as_u16_ptr(got))
+
+    rows = flat[idx]
+    b0_mean = np.maximum(rows[:, ib0], 0).mean(axis=1)
+    dwis = np.maximum(rows[:, ~ib0], 0).astype(np.float32)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dwis /= b0_mean[:, None].astype(np.float32)
+    dwis[~np.isfinite(dwis)] = 0
+    np.clip(dwis, 0.0, 1.0, out=dwis)
+    sig = np.concatenate(
+        [(b0_mean > 0).astype(np.float32)[:, None], dwis], axis=1)
+    want = (sig * np.float32(65535.0) + np.float32(0.5)).astype(np.uint16)
+    assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
