@@ -66,28 +66,37 @@ def _signal(mask, ax, bval, bvec, rng):
 
 
 def _signal_cached(tag, shape, mask, ax, bval, bvec, rng):
-    """Phantom DWI volume, cached on disk: the synthetic signal build is
-    ~2 min of single-core host time at HCP scale, which would otherwise
-    precede every benchmark attempt (clean windows are short)."""
+    """Phantom DWI volume, cached on disk and memory-mapped: the
+    synthetic signal build is ~2 min of single-core host time at HCP
+    scale, and even reloading a ~2 GB npz costs ~30 s — both would
+    otherwise precede every benchmark attempt (clean windows are
+    short).  The memmap pages in only what the masked gather reads."""
     import os
 
-    cache = os.path.join(
+    base = os.path.join(
         os.environ.get("FIBERS_BENCH_CACHE", "/tmp"),
         f"fibers_bench_{tag}_{shape[0]}x{shape[1]}x{shape[2]}_"
-        f"{len(bval)}.npz")
-    if os.path.exists(cache):
+        f"{len(bval)}")
+    volp, metap = base + "_vol.npy", base + "_meta.npz"
+    if os.path.exists(volp) and os.path.exists(metap):
         try:
-            with np.load(cache) as z:
+            with np.load(metap) as z:
                 if (np.array_equal(z["bval"], bval)
                         and np.array_equal(z["bvec"], bvec)):
-                    return z["vol"]
+                    return np.load(volp, mmap_mode="r")
         except Exception:
-            os.remove(cache)
+            for p in (volp, metap):
+                if os.path.exists(p):
+                    os.remove(p)
     vol = _signal(mask, ax, bval, bvec, rng)
-    tmp = cache + f".tmp.{os.getpid()}"
+    tmp = volp + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:     # np.save(path) would append .npy
+        np.save(f, vol)
+    os.replace(tmp, volp)
+    tmp = metap + f".tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
-        np.savez(f, vol=vol, bval=bval, bvec=bvec)
-    os.replace(tmp, cache)
+        np.savez(f, bval=bval, bvec=bvec)
+    os.replace(tmp, metap)
     return vol
 
 
