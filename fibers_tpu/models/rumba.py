@@ -781,6 +781,12 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     it = it_start
     import time as _time
     pace_t0 = _time.monotonic()
+    # Pace gates: force completion with one scalar fetch at ~50 iters
+    # (enough to amortize the sync's own latency) and again at mid-run
+    # (performance collapses can start after a clean opening); the sync
+    # only pauses dispatch, the device queue keeps draining.
+    pace_gates = [2 * _BLOCK_ITERS, max(4 * _BLOCK_ITERS, niter // 2)] \
+        if abort_s_per_iter is not None else []
     with prof("rumba.iterate"):
         while it < niter:
             k = niter - it
@@ -794,20 +800,15 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                 idx_j, k, n_order, ipat_factor, use_tv, tv_shape3, tv_nxyz,
                 precision, mesh, tv_bf16)
             it += k
-            # Pace gate: after two blocks (~50 iters, enough to amortize
-            # the sync's own latency), force completion with one scalar
-            # fetch and compare against the budget.
-            if (abort_s_per_iter is not None
-                    and it - it_start >= 2 * _BLOCK_ITERS
-                    and pace_t0 is not None):
+            if pace_gates and it - it_start >= pace_gates[0]:
+                pace_gates = [g for g in pace_gates if g > it - it_start]
                 np.asarray(sig2[(0,) * sig2.ndim])
                 pace = (_time.monotonic() - pace_t0) / (it - it_start)
-                pace_t0 = None
                 if pace > abort_s_per_iter:
                     raise PaceAbortError(
-                        f"RUMBA-SD early pace {pace:.3f} s/iter over the "
-                        f"first {it - it_start} iterations exceeds the "
-                        f"abort budget {abort_s_per_iter:.3f} s/iter")
+                        f"RUMBA-SD pace {pace:.3f} s/iter over the first "
+                        f"{it - it_start} iterations exceeds the abort "
+                        f"budget {abort_s_per_iter:.3f} s/iter")
             if verbose:
                 sm = float(snr[:nmask].mean())
                 ss = float(snr[:nmask].std(ddof=1)) if nmask > 1 else 0.0
