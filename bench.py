@@ -130,40 +130,23 @@ def main():
                    nvec=1)
 
     build_t0 = time.time()
+    from benchmarks import _cache
     base = os.path.join(
         os.environ.get("FIBERS_BENCH_CACHE", "/tmp"),
         f"fibers_bench_phantom_v{PHANTOM_VERSION}_"
         f"{shape[0]}x{shape[1]}x{shape[2]}_{ndir}")
-    # The DWI volume is cached as a raw .npy and memory-mapped: loading
-    # the ~1.4 GB HCP-scale phantom through np.load(npz) costs ~35 s of
-    # the (short-lived) clean benchmark window; a memmap pages in only
-    # the rows the masked gather touches, effectively instantly on tmpfs.
-    volp, metap = base + "_vol.npy", base + "_meta.npz"
-    loaded = False
-    if os.path.exists(volp) and os.path.exists(metap):
-        try:
-            vol = np.load(volp, mmap_mode="r")
-            with np.load(metap) as z:
-                dwi = _wrap_dwi(vol, shape, ndir, z["bval"], z["bvec"])
-                mask = ft.MRI.like(dwi, 1, np.float32)
-                mask.vol = z["mask"]
-            loaded = True
-            sys.stderr.write(f"phantom mapped from cache in "
-                             f"{time.time() - build_t0:.1f}s\n")
-        except Exception:
-            for p in (volp, metap):
-                if os.path.exists(p):
-                    os.remove(p)
-    if not loaded:
+    hit = _cache.load(base)
+    if hit is not None:
+        vol, meta = hit
+        dwi = _wrap_dwi(vol, shape, ndir, meta["bval"], meta["bvec"])
+        mask = ft.MRI.like(dwi, 1, np.float32)
+        mask.vol = meta["mask"]
+        sys.stderr.write(f"phantom mapped from cache in "
+                         f"{time.time() - build_t0:.1f}s\n")
+    else:
         dwi, mask, ax = make_brain(shape=shape, ndir=ndir)
-        tmp = volp + f".tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:    # np.save(path) would append .npy
-            np.save(f, np.asarray(dwi.vol))
-        os.replace(tmp, volp)
-        tmp = metap + f".tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:    # np.savez(path) would append .npz
-            np.savez(f, bval=dwi.bval, bvec=dwi.bvec, mask=mask.vol)
-        os.replace(tmp, metap)
+        _cache.save(base, dwi.vol, bval=dwi.bval, bvec=dwi.bvec,
+                    mask=mask.vol)
         sys.stderr.write(f"phantom built in {time.time() - build_t0:.1f}s\n")
     nmask = int((mask.vol > 0).sum())
     sys.stderr.write(f"{nmask} masked voxels\n")

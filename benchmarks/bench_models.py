@@ -66,37 +66,27 @@ def _signal(mask, ax, bval, bvec, rng):
 
 
 def _signal_cached(tag, shape, mask, ax, bval, bvec, rng):
-    """Phantom DWI volume, cached on disk and memory-mapped: the
-    synthetic signal build is ~2 min of single-core host time at HCP
-    scale, and even reloading a ~2 GB npz costs ~30 s — both would
-    otherwise precede every benchmark attempt (clean windows are
-    short).  The memmap pages in only what the masked gather reads."""
+    """Phantom DWI volume via the shared memmap disk cache
+    (benchmarks/_cache.py): the synthetic signal build is ~2 min of
+    single-core host time at HCP scale, and even reloading a ~2 GB npz
+    costs ~30 s — both would otherwise precede every benchmark attempt
+    (clean windows are short)."""
     import os
+
+    try:
+        import _cache                        # run as a script
+    except ImportError:
+        from benchmarks import _cache        # imported from the repo root
 
     base = os.path.join(
         os.environ.get("FIBERS_BENCH_CACHE", "/tmp"),
         f"fibers_bench_{tag}_{shape[0]}x{shape[1]}x{shape[2]}_"
         f"{len(bval)}")
-    volp, metap = base + "_vol.npy", base + "_meta.npz"
-    if os.path.exists(volp) and os.path.exists(metap):
-        try:
-            with np.load(metap) as z:
-                if (np.array_equal(z["bval"], bval)
-                        and np.array_equal(z["bvec"], bvec)):
-                    return np.load(volp, mmap_mode="r")
-        except Exception:
-            for p in (volp, metap):
-                if os.path.exists(p):
-                    os.remove(p)
+    hit = _cache.load(base, bval=bval, bvec=bvec)
+    if hit is not None:
+        return hit[0]
     vol = _signal(mask, ax, bval, bvec, rng)
-    tmp = volp + f".tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:     # np.save(path) would append .npy
-        np.save(f, vol)
-    os.replace(tmp, volp)
-    tmp = metap + f".tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:
-        np.savez(f, bval=bval, bvec=bvec)
-    os.replace(tmp, metap)
+    _cache.save(base, vol, bval=bval, bvec=bvec)
     return vol
 
 

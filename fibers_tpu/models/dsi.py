@@ -242,8 +242,13 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
 
     # nfft-aware chunk guard: grid f32 + real half spectrum (c64 over
     # nfft^3/2) + fft scratch ~= 12 bytes per grid cell per voxel (per
-    # device when sharded)
-    max_chunk = max(8, int(mem_budget * ndata / (nfft ** 3 * 12)))
+    # device when sharded).  A device-resident batch stays live in HBM
+    # through every chunk dispatch, so its bytes come out of the budget.
+    budget = mem_budget
+    if batch is not None:
+        budget = max(1e9, mem_budget
+                     - batch.signals.size * 4 / max(ndata, 1))
+    max_chunk = max(8, int(budget * ndata / (nfft ** 3 * 12)))
     if chunk * ndata > max_chunk:
         chunk = 1 << int(np.floor(np.log2(max_chunk)))
         if chunk % ndata:

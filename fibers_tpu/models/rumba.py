@@ -780,13 +780,21 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     snr = 1.0 / jnp.sqrt(sig2)
     it = it_start
     import time as _time
-    pace_t0 = _time.monotonic()
     # Pace gates: force completion with one scalar fetch at ~50 iters
-    # (enough to amortize the sync's own latency) and again at mid-run
-    # (performance collapses can start after a clean opening); the sync
-    # only pauses dispatch, the device queue keeps draining.
-    pace_gates = [2 * _BLOCK_ITERS, max(4 * _BLOCK_ITERS, niter // 2)] \
-        if abort_s_per_iter is not None else []
+    # past the baseline (enough to amortize the sync's own latency) and
+    # again at mid-run (performance collapses can start after a clean
+    # opening); the sync only pauses dispatch, the device queue keeps
+    # draining.  The timer starts AFTER the first block completes so
+    # one-time jit compiles / executable staging (15-400 s on a
+    # persistent-cache miss) don't read as iteration pace.
+    pace_t0 = None
+    pace_it0 = None
+    pace_gates = []
+    if abort_s_per_iter is not None:
+        g1 = min(it_start + 3 * _BLOCK_ITERS, niter)
+        g2 = max(it_start + 5 * _BLOCK_ITERS, (it_start + niter) // 2)
+        pace_gates = sorted({g for g in (g1, g2)
+                             if it_start + _BLOCK_ITERS < g <= niter})
     with prof("rumba.iterate"):
         while it < niter:
             k = niter - it
@@ -800,14 +808,17 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                 idx_j, k, n_order, ipat_factor, use_tv, tv_shape3, tv_nxyz,
                 precision, mesh, tv_bf16)
             it += k
-            if pace_gates and it - it_start >= pace_gates[0]:
-                pace_gates = [g for g in pace_gates if g > it - it_start]
+            if pace_gates and pace_t0 is None:
+                np.asarray(sig2[(0,) * sig2.ndim])   # block 1 + compiles
+                pace_t0, pace_it0 = _time.monotonic(), it
+            elif pace_gates and it >= pace_gates[0]:
+                pace_gates = [g for g in pace_gates if g > it]
                 np.asarray(sig2[(0,) * sig2.ndim])
-                pace = (_time.monotonic() - pace_t0) / (it - it_start)
+                pace = (_time.monotonic() - pace_t0) / (it - pace_it0)
                 if pace > abort_s_per_iter:
                     raise PaceAbortError(
-                        f"RUMBA-SD pace {pace:.3f} s/iter over the first "
-                        f"{it - it_start} iterations exceeds the abort "
+                        f"RUMBA-SD pace {pace:.3f} s/iter over "
+                        f"iterations {pace_it0}..{it} exceeds the abort "
                         f"budget {abort_s_per_iter:.3f} s/iter")
             if verbose:
                 sm = float(snr[:nmask].mean())

@@ -15,6 +15,7 @@
  *   (reference: src/trk.jl:410-412).
  */
 
+#include <math.h>
 #include <stdint.h>
 #include <string.h>
 
@@ -92,8 +93,11 @@ void gather_quant_u16(const float *flat, const int64_t *idx, int64_t n,
  * masked voxel row idx[i], average the b0 frames (negatives clipped),
  * emit the b0>0 flag as column 0 and the b0-normalized DWI frames
  * clipped to [0,1] in columns 1.., all quantized to the u16 wire
- * (scale 1/65535).  Matches the numpy expression to the last grid unit
- * (b0 mean accumulated in double, like numpy's pairwise f32 mean). */
+ * (scale 1/65535).  Matches the numpy expression to within one grid
+ * unit (the b0 mean accumulates in double here vs numpy's pairwise
+ * f32 — last-ulp differences can flip a rounding boundary).  Non-finite
+ * ratios (f32 overflow of v/b0 on a subnormal b0) become 0, exactly as
+ * the numpy path's isfinite scrub does. */
 void rumba_signal_u16(const float *flat, const int64_t *idx, int64_t n,
                       int64_t nvol, const int32_t *ib0, int64_t nb0,
                       const int32_t *idwi, int64_t ndwi, uint16_t *out)
@@ -113,6 +117,7 @@ void rumba_signal_u16(const float *flat, const int64_t *idx, int64_t n,
             float v = src[idwi[j]];
             if (!(v > 0.0f)) v = 0.0f;
             float q = b0 > 0.0f ? v / b0 : 0.0f;
+            if (!isfinite(q)) q = 0.0f;
             if (q > 1.0f) q = 1.0f;
             dst[1 + j] = (uint16_t)(q * 65535.0f + 0.5f);
         }

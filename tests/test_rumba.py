@@ -286,3 +286,25 @@ class TestTVBboxCrop:
         np.testing.assert_allclose(np.asarray(b16.fodf.vol),
                                    np.asarray(f32.fodf.vol),
                                    rtol=0.05, atol=2e-3)
+
+
+def test_pace_abort_gate():
+    """rumba_rec(abort_s_per_iter=): an impossible budget raises
+    PaceAbortError once the first gate is reached; a generous budget
+    completes (the gate syncs must not perturb the fit)."""
+    import pytest
+    from phantom import make_phantom
+    from fibers_tpu.models.rumba import PaceAbortError
+
+    import fibers_tpu as ft
+
+    dwi, mask, _, _ = make_phantom(shape=(8, 8, 6), ndir=20)
+    with pytest.raises(PaceAbortError, match="s/iter"):
+        ft.rumba_rec(dwi, mask, ft.sphere_362, niter=60,
+                     abort_s_per_iter=1e-9)
+
+    ok = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=60,
+                      abort_s_per_iter=1e9)
+    ref = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=60)
+    np.testing.assert_array_equal(np.asarray(ok.gfa.vol),
+                                  np.asarray(ref.gfa.vol))

@@ -148,18 +148,17 @@ class TestNativeGatherRows:
         return np.ascontiguousarray(flat), take
 
     def test_quantized_matches_numpy(self, rng):
+        # _gather_rows uses the native kernel when a C compiler exists
+        # and the numpy expression otherwise; either way it must equal
+        # the reference expression bit-for-bit.
         from fibers_tpu.core.batch import _gather_rows, _quantize_rows
-        from fibers_tpu.native import lib
 
         flat, take = self._flat(rng)
         scale = float(np.abs(flat).max()) / 65535.0
         got = _gather_rows(flat, take, True, scale)
         want = _quantize_rows(flat[take].astype(np.float32), scale)
         assert got.dtype == np.uint16
-        if lib() is None:                       # fallback == expression
-            np.testing.assert_array_equal(got, want)
-        else:                                   # native must agree too
-            np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(got, want)
 
     def test_f32_matches_numpy(self, rng):
         from fibers_tpu.core.batch import _gather_rows
