@@ -5,6 +5,8 @@
 
 from __future__ import annotations
 
+import sys
+
 import os
 import re
 from dataclasses import fields as dc_fields
@@ -160,7 +162,7 @@ def mri_write(mri: MRI, outfile: str, dtype=None) -> bool:
         raise ValueError(f"File extension {fext} not supported")
 
     if err:
-        print(f"WARNING: Problem saving {outfile}")
+        print(f"WARNING: Problem saving {outfile}", file=sys.stderr)
 
     # DWI table sidecars (reference: src/mri.jl:1908-1916)
     if mri.bval is not None and len(mri.bval):

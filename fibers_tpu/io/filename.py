@@ -6,6 +6,7 @@
 from __future__ import annotations
 
 import os
+import sys
 
 __all__ = ["get_tmp_path", "mri_filename"]
 
@@ -23,7 +24,7 @@ def get_tmp_path(tmpdir: str = "") -> str:
         if p and os.path.isdir(p):
             return p
     print("WARNING: get_tmp_path could not find a temporary folder, "
-          "using current folder")
+          "using current folder", file=sys.stderr)
     return "./"
 
 

@@ -10,6 +10,8 @@ byte stream are behaviorally identical.
 
 from __future__ import annotations
 
+import sys
+
 import gzip
 import io as _io
 import os
@@ -83,7 +85,7 @@ def _parse_hdr(buffer: bytes, fname: str = "") -> NIfTIHeader:
         xyzscale = 0.001        # microns
     else:
         print(f"WARNING: xyz units code {xyzunits} is unrecognized, "
-              "assuming mm")
+              "assuming mm", file=sys.stderr)
         xyzscale = 1.0
 
     tunits = raw["xyzt_units"] & 56
@@ -148,7 +150,7 @@ def _parse_hdr(buffer: bytes, fname: str = "") -> NIfTIHeader:
     elif raw["qform_code"] != 0:
         vox2ras = qform
     else:
-        print(f"WARNING: neither sform or qform are valid in {fname}")
+        print(f"WARNING: neither sform or qform are valid in {fname}", file=sys.stderr)
         vox2ras = np.eye(4, dtype=np.float32)
         vox2ras[0, 0], vox2ras[1, 1], vox2ras[2, 2] = pixdim[1:4]
 
@@ -241,7 +243,7 @@ def save_nifti(hdr: NIfTIHeader, vol: np.ndarray, fname: str) -> bool:
         dtype = NIFTI_DTYPES[int(raw["datatype"])]
     else:
         print(f"WARNING: data type {raw['datatype']} not supported, "
-              "but writing as float")
+              "but writing as float", file=sys.stderr)
         dtype = np.float32
 
     buf = _io.BytesIO()

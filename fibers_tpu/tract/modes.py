@@ -10,6 +10,8 @@ cone around the tentative next position.
 
 from __future__ import annotations
 
+import sys
+
 from functools import partial
 
 import jax
@@ -188,7 +190,7 @@ def stream_lcm(ovecs, fs, mask_array, seed, lcms, cfg, nsub, ang_thresh,
     if cfg.lcm_thresh > lcm_max:
         print(f"WARNING: The value of lcm_thresh ({cfg.lcm_thresh}) is "
               f"greater than the maximum value in the lcms volume "
-              f"({lcm_max})")
+              f"({lcm_max})", file=sys.stderr)
     lcm_vol = lcm_vol * (lcm_vol >= cfg.lcm_thresh)
 
     # 2D in-plane setup: the through-plane dim is the all-zero one of the

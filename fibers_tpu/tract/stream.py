@@ -19,6 +19,8 @@ cone-search variant scans a search window around the tentative next voxel
 
 from __future__ import annotations
 
+import sys
+
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Union
@@ -774,7 +776,7 @@ class StreamWork:
             if cfg.fa_thresh < fa_min or cfg.fa_thresh > fa_max:
                 print(f"WARNING: The value of fa_thresh ({cfg.fa_thresh}) "
                       f"is outside the range of most values in the fa "
-                      f"volume ({fa_min}, {fa_max})")
+                      f"volume ({fa_min}, {fa_max})", file=sys.stderr)
             mask_array = mask_array & (favol >= cfg.fa_thresh)
 
         if self.device_peaks is not None and cfg.f_thresh > 0:
@@ -786,7 +788,7 @@ class StreamWork:
             if cfg.f_thresh < f_min or cfg.f_thresh > f_max:
                 print(f"WARNING: The value of f_thresh ({cfg.f_thresh}) "
                       f"is outside the range of most values in the f "
-                      f"volume ({f_min}, {f_max})")
+                      f"volume ({f_min}, {f_max})", file=sys.stderr)
         elif self.fs is not None:
             f0 = self.fs[0].vol if self.fs[0].vol.ndim == 3 else \
                 self.fs[0].vol[..., 0]
@@ -796,7 +798,7 @@ class StreamWork:
             if cfg.f_thresh < f_min or cfg.f_thresh > f_max:
                 print(f"WARNING: The value of f_thresh ({cfg.f_thresh}) "
                       f"is outside the range of most values in the f "
-                      f"volume ({f_min}, {f_max})")
+                      f"volume ({f_min}, {f_max})", file=sys.stderr)
 
         self.mask_array = mask_array
         if self.device_peaks is not None:

@@ -106,7 +106,7 @@ class TestForeignNIfTI:
         p = str(tmp_path / "noform.nii")
         _write_nii(p, rec, vol)
         mri = ft.mri_read(p)
-        assert "neither sform or qform" in capsys.readouterr().out
+        assert "neither sform or qform" in capsys.readouterr().err
         np.testing.assert_allclose(np.asarray(mri.vol), vol, rtol=1e-6)
 
     def test_big_endian_scaled_int16(self, tmp_path, rng):

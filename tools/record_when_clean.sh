@@ -20,12 +20,33 @@ START=$(date +%s)
 
 have() { [ -s "$OUTDIR/$1" ] && grep -q '"metric"\|"value"' "$OUTDIR/$1"; }
 
+# jval <file>: print the "value" from the last parseable JSON line.
+# Benchmarks may emit parity WARNING lines on stdout; never let a stray
+# line poison the keep-best comparison (round-4 bug: a better RUMBA
+# record was repeatedly discarded because the OLD file had one).
+jval() {
+    python - "$1" <<'PYEOF'
+import json, sys
+val = None
+for line in open(sys.argv[1]):
+    line = line.strip()
+    if line.startswith("{"):
+        try:
+            val = json.loads(line)["value"]
+        except Exception:
+            pass
+if val is None:
+    sys.exit(2)
+print(val)
+PYEOF
+}
+
 meets() {  # recorded value already at or under target?
     have "$1" || return 1
-    python - "$OUTDIR/$1" "$2" <<'PYEOF'
-import json, sys
-sys.exit(0 if json.load(open(sys.argv[1]))["value"] <= float(sys.argv[2])
-         else 1)
+    v=$(jval "$OUTDIR/$1") || return 1
+    python - "$v" "$2" <<'PYEOF'
+import sys
+sys.exit(0 if float(sys.argv[1]) <= float(sys.argv[2]) else 1)
 PYEOF
 }
 
@@ -42,14 +63,16 @@ run_one() {
     timeout 2400 "$@" > "$OUTDIR/$name.tmp" 2> "$OUTDIR/$name.err"
     rc=$?
     if [ $rc -eq 0 ]; then
-        # keep-best: a re-record may only improve (lower "value")
-        if have "$name" && ! python - "$OUTDIR/$name" \
-            "$OUTDIR/$name.tmp" <<'PYEOF'
-import json, sys
-old = json.load(open(sys.argv[1]))["value"]
-new = json.load(open(sys.argv[2]))["value"]
-sys.exit(0 if new < old else 1)
+        # keep-best: a re-record may only improve (lower "value").
+        # An unparseable OLD record never blocks a parseable new one.
+        oldv=$(have "$name" && jval "$OUTDIR/$name" || echo "")
+        newv=$(jval "$OUTDIR/$name.tmp" || echo "")
+        if [ -n "$oldv" ] && { [ -z "$newv" ] || ! python - "$oldv" \
+            "$newv" <<'PYEOF'
+import sys
+sys.exit(0 if float(sys.argv[2]) < float(sys.argv[1]) else 1)
 PYEOF
+        }
         then
             echo "[$(date +%H:%M:%S)] $name done but not better; kept old" \
                 >> "$OUTDIR/log"
