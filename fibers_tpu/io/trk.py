@@ -549,6 +549,40 @@ class TrkSink:
             out.astype("<f4", copy=False).tofile(self._f)
         self._written += len(npts)
 
+    def append_deltas(self, q: np.ndarray, npts: np.ndarray,
+                      anchors: np.ndarray, qscale: float) -> bool:
+        """Append lines straight from an int8 error-feedback delta wire
+        buffer (`q` [total*3] line-order deltas, `anchors` [nlines, 3]
+        line anchor positions, see tract/stream.py) — fused native
+        decode + record pack, one pass, no [total, 3] float32
+        intermediate.  Returns False when the native helper is
+        unavailable (caller falls back to decode + append)."""
+        from .. import native
+        from ..utils.profiling import prof
+
+        clib = native.lib()
+        if clib is None or not hasattr(clib, "decode_delta_trk_records"):
+            return False
+        npts32 = np.ascontiguousarray(npts, np.int32)
+        n = len(npts32)
+        if n == 0:
+            return True
+        off = np.zeros(n, np.int64)
+        np.cumsum(npts32[:-1], dtype=np.int64, out=off[1:])
+        total = int(off[-1] + npts32[-1])
+        with prof("trk.sink_append_fused"):
+            q = np.ascontiguousarray(q[:total * 3], np.int8)
+            anch = np.ascontiguousarray(anchors, np.float32)
+            out = np.empty(n + 3 * total, np.float32)
+            clib.decode_delta_trk_records(
+                native.as_i8_ptr(q), native.as_i64_ptr(off),
+                native.as_i32_ptr(npts32), native.as_f32_ptr(anch),
+                n, np.float32(1.0 / qscale), native.as_f32_ptr(self._vsz),
+                native.as_f32_ptr(out))
+            out.astype("<f4", copy=False).tofile(self._f)
+        self._written += n
+        return True
+
     def close(self) -> None:
         self._f.close()
         # The header's n_count was written up front; a mismatch with what

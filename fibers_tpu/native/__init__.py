@@ -97,6 +97,17 @@ def lib():
         ]
         cdll.decode_delta_lines.restype = None
 
+        cdll.decode_delta_trk_records.argtypes = [
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        cdll.decode_delta_trk_records.restype = None
+
         cdll.gather_quant_u16.argtypes = [
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64),

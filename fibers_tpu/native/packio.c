@@ -66,6 +66,42 @@ void decode_delta_lines(const int8_t *q, const int64_t *off,
     }
 }
 
+/* Fused delta-decode + TrackVis record pack: one pass from the fetched
+ * int8 wire straight to the .trk byte stream, skipping the [total, 3]
+ * float32 intermediate that decode_delta_lines + pack_trk_records
+ * would produce and re-read (two full memory passes over ~GB buffers
+ * on the benchmark host).  Line i's record starts at word
+ * off[i]*3 + i (one count word per preceding line).  Point math is the
+ * exact composition of the two unfused passes:
+ * (anchor + cumsum(q)*inv_scale + 0.5) * voxel_size. */
+void decode_delta_trk_records(const int8_t *q, const int64_t *off,
+                              const int32_t *npts, const float *anchors,
+                              int64_t nlines, float inv_scale,
+                              const float *vsz, float *out)
+{
+    const float sx = vsz[0], sy = vsz[1], sz = vsz[2];
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < nlines; i++) {
+        int64_t j = off[i];
+        const int8_t *src = q + j * 3;
+        float *dst = out + j * 3 + i;
+        const float ax = anchors[i * 3], ay = anchors[i * 3 + 1],
+                    az = anchors[i * 3 + 2];
+        int32_t m = npts[i];
+        memcpy(dst, &m, sizeof(int32_t));
+        dst++;
+        int32_t cx = 0, cy = 0, cz = 0;
+        for (int32_t k = 0; k < m; k++) {
+            cx += src[0]; cy += src[1]; cz += src[2];
+            dst[0] = (ax + cx * inv_scale + 0.5f) * sx;
+            dst[1] = (ay + cy * inv_scale + 0.5f) * sy;
+            dst[2] = (az + cz * inv_scale + 0.5f) * sz;
+            src += 3;
+            dst += 3;
+        }
+    }
+}
+
 /* Gather rows of a C-contiguous [nvox, nvol] float32 matrix at `idx`
  * and quantize to uint16 (round-half-up of v/scale, negatives and
  * overflow clipped) in ONE pass — the host side of the u16 signal wire

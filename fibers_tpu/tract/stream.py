@@ -577,6 +577,12 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
         with TrkSink(cfg.trk_sink, tr, len(npts)) as sink:
             for (raw, sraw), (_, sbuf, total, npts_c, anch_k) in zip(
                     fetched(), live):
+                if mode == "i8" and sraw is None:
+                    # fused native path: wire deltas -> trk record bytes
+                    # in one pass (no [total, 3] f32 intermediate)
+                    if sink.append_deltas(raw.view(np.int8), npts_c,
+                                          anch_k, qscale):
+                        continue
                 pts = _decode_points(raw, total, mode, npts=npts_c,
                                      anchors=anch_k, qscale=qscale)
                 scal = None if sraw is None else \

@@ -296,6 +296,44 @@ class TestTrk:
             with pytest.raises(ValueError, match="Malformed .trk"):
                 ft.trk_read(pt)
 
+    def test_sink_append_deltas_bit_exact(self, tmp_path, rng):
+        """The fused native delta->trk path writes byte-identical files
+        to the unfused decode_delta_lines + append composition."""
+        from fibers_tpu import native
+        from fibers_tpu.io.trk import TrkSink
+        from fibers_tpu.tract.stream import _decode_points
+
+        if native.lib() is None:
+            pytest.skip("native helpers unavailable")
+
+        tr, _ = self._tract(rng)
+        tr.npts = np.zeros(0, np.int32)
+        tr.__dict__["xyz"] = []
+
+        qscale = 127.0 / 0.5
+        npts = rng.integers(1, 40, size=37).astype(np.int32)
+        total = int(npts.sum())
+        # first slot of each line is a zero delta, like the wire
+        q = rng.integers(-127, 128, size=(total, 3)).astype(np.int8)
+        off = np.concatenate([[0], np.cumsum(npts)[:-1]])
+        q[off] = 0
+        anchors = rng.uniform(0, 9, (len(npts), 3)).astype(np.float32)
+
+        p_fused = str(tmp_path / "fused.trk")
+        with TrkSink(p_fused, tr, len(npts)) as sink:
+            assert sink.append_deltas(q.reshape(-1), npts, anchors,
+                                      qscale)
+
+        p_ref = str(tmp_path / "unfused.trk")
+        pts = _decode_points(q.reshape(-1).view(np.uint8), total, "i8",
+                             npts=npts, anchors=anchors, qscale=qscale)
+        with TrkSink(p_ref, tr, len(npts)) as sink:
+            sink.append(pts, npts)
+
+        a = open(p_fused, "rb").read()
+        b = open(p_ref, "rb").read()
+        assert a == b
+
     def test_sink_count_mismatch_raises(self, tmp_path, rng):
         from fibers_tpu.io.trk import TrkSink
 
