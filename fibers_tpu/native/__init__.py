@@ -116,6 +116,14 @@ def lib():
         ]
         cdll.gather_quant_u16.restype = None
 
+        cdll.gather_quant_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        cdll.gather_quant_u8.restype = None
+
         cdll.gather_rows_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64),
@@ -156,3 +164,7 @@ def as_i8_ptr(a):
 
 def as_u16_ptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+
+
+def as_u8_ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))

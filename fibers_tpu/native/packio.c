@@ -125,6 +125,24 @@ void gather_quant_u16(const float *flat, const int64_t *idx, int64_t n,
     }
 }
 
+/* uint8 variant of gather_quant_u16 — the half-width wire for
+ * scale-invariant consumers (DSI). */
+void gather_quant_u8(const float *flat, const int64_t *idx, int64_t n,
+                     int64_t nvol, float inv_scale, uint8_t *out)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        const float *src = flat + idx[i] * nvol;
+        uint8_t *dst = out + i * nvol;
+        for (int64_t v = 0; v < nvol; v++) {
+            float q = src[v] * inv_scale;
+            if (!(q > 0.0f)) q = 0.0f;
+            if (q > 255.0f) q = 255.0f;
+            dst[v] = (uint8_t)(q + 0.5f);
+        }
+    }
+}
+
 /* RUMBA-SD signal rows in one pass (models/rumba.py host producer): for
  * masked voxel row idx[i], average the b0 frames (negatives clipped),
  * emit the b0>0 flag as column 0 and the b0-normalized DWI frames

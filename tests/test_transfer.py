@@ -115,6 +115,54 @@ class TestQuantizedBatchWire:
                                    np.asarray(gqi_f.odf.vol),
                                    rtol=1e-3, atol=1e-5)
 
+    def test_u8_batch_error_bound_and_dsi_parity(self):
+        """uint8 wire (DSI's scale-invariant upload): error bound holds
+        and the DSI ODF peaks survive the quantization."""
+        from phantom import make_phantom
+        import fibers_tpu as ft
+
+        dwi, mask, _, _ = make_phantom(shape=(8, 8, 6), ndir=30)
+        b_f32 = ft.prepare_batch(dwi, mask, wire="f32")
+        b_u8 = ft.prepare_batch(dwi, mask, wire="u8")
+        assert b_u8.signals.dtype == jnp.float32
+        scale = float(np.asarray(dwi.vol).max()) / 255.0
+        err = np.abs(np.asarray(b_u8.signals)
+                     - np.asarray(b_f32.signals)).max()
+        assert err <= 0.51 * scale + 1e-6
+
+        # native gather_quant_u8 == numpy _quantize_rows fallback
+        from fibers_tpu.core.batch import _gather_rows, _quantize_rows
+        from fibers_tpu import native
+        if native.lib() is not None:
+            vol = np.asarray(dwi.vol)
+            flat = np.ascontiguousarray(
+                vol.reshape(-1, vol.shape[3]), np.float32)
+            take = np.flatnonzero(np.asarray(mask.vol).reshape(-1) > 0)
+            nat = _gather_rows(flat, take, "u8", scale)
+            ref = _quantize_rows(flat[take].astype(np.float32), scale,
+                                 "u8")
+            np.testing.assert_array_equal(nat, ref)
+
+    def test_u8_dsi_peak_parity(self):
+        from test_dsi import make_dsi_phantom
+        import fibers_tpu as ft
+
+        dwi, mask, axis = make_dsi_phantom(shape=(5, 5, 5),
+                                           axis=(1, 0.3, 0.1))
+        b_f32 = ft.prepare_batch(dwi, mask, wire="f32")
+        b_u8 = ft.prepare_batch(dwi, mask, wire="u8")
+        d_f = ft.dsi_rec(dwi, mask, ft.sphere_362, batch=b_f32)
+        d_q = ft.dsi_rec(dwi, mask, ft.sphere_362, batch=b_u8)
+        odf_f = np.asarray(d_f.odf.vol)
+        odf_q = np.asarray(d_q.odf.vol)
+        assert np.abs(odf_q - odf_f).max() <= 5e-3 * np.abs(odf_f).max()
+        pk_f = np.asarray(d_f.peak[0].vol)
+        pk_q = np.asarray(d_q.peak[0].vol)
+        nrm = np.linalg.norm(pk_f, axis=-1) * np.linalg.norm(pk_q, axis=-1)
+        live = nrm > 0
+        cosang = np.abs((pk_f * pk_q).sum(-1)[live]) / nrm[live]
+        assert np.degrees(np.arccos(np.clip(cosang, -1, 1))).max() < 2.0
+
     def test_auto_wire_is_exact_on_cpu(self):
         from phantom import make_phantom
         import fibers_tpu as ft
@@ -155,8 +203,9 @@ class TestNativeGatherRows:
 
         flat, take = self._flat(rng)
         scale = float(np.abs(flat).max()) / 65535.0
-        got = _gather_rows(flat, take, True, scale)
-        want = _quantize_rows(flat[take].astype(np.float32), scale)
+        got = _gather_rows(flat, take, "u16", scale)
+        want = _quantize_rows(flat[take].astype(np.float32), scale,
+                              "u16")
         assert got.dtype == np.uint16
         np.testing.assert_array_equal(got, want)
 
