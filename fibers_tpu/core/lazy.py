@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["LazyVolume", "LazyArray"]
+__all__ = ["LazyVolume", "LazyArray", "lazy_stack_volumes"]
 
 
 class LazyArray:
@@ -64,6 +64,32 @@ class LazyArray:
         return a.astype(dtype) if dtype is not None else a
 
 
+class _StackFetch:
+    """One [k, n_pad] device array shared by k lazy volumes: the first
+    access fetches the whole stack in ONE wide transfer (k narrow
+    fetches each pay full tunnel latency, and [N, 1] fetches take the
+    pathological tiled-layout path — see models/rumba.py)."""
+
+    def __init__(self, values):
+        self._values = values
+        self._host = None
+
+    def row(self, i) -> np.ndarray:
+        if self._host is None:
+            from ..ops.transfer import to_host
+            self._host = to_host(self._values)
+            self._values = None  # release HBM
+        return self._host[i]
+
+
+def lazy_stack_volumes(stack_dev, idx, shape3):
+    """Split a [k, n_pad] stacked device array into k single-frame
+    `LazyVolume`s that share one device->host fetch."""
+    fetch = _StackFetch(stack_dev)
+    k = int(stack_dev.shape[0])
+    return [_LazySliceVolume(fetch, i, idx, shape3) for i in range(k)]
+
+
 class LazyVolume:
     """Device-resident masked batch that scatters into a host volume on
     demand.
@@ -106,3 +132,21 @@ class LazyVolume:
     def __array__(self, dtype=None):
         a = self.materialize()
         return a.astype(dtype) if dtype is not None else a
+
+
+class _LazySliceVolume(LazyVolume):
+    """A `LazyVolume` whose batch is one row of a shared `_StackFetch`
+    (see `lazy_stack_volumes`)."""
+
+    def __init__(self, fetch, row, idx, shape3):
+        super().__init__(None, idx, shape3, 1)
+        self._fetch = fetch
+        self._row = int(row)
+
+    def materialize(self) -> np.ndarray:
+        if self._host is None:
+            from ..ops.masked import scatter_frames
+            vals = self._fetch.row(self._row)[:len(self._idx)]
+            self._host = scatter_frames(vals, self._idx, self._shape3)
+            self._fetch = None
+        return self._host

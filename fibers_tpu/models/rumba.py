@@ -25,7 +25,7 @@ import numpy as np
 from ..core.mri import MRI
 from ..core.odf import ODF
 from ..io.dispatch import mri_write_struct
-from ..ops.masked import mask_indices, scatter_frames
+from ..ops.masked import mask_indices
 from ..utils.coords import ang2rot, cart2sph
 
 __all__ = ["RUMBASD", "rumba_rec", "rumba_write", "rumba_peaks",
@@ -846,7 +846,6 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
         snr_std = float(ss_d) if nmask > 1 else 0.0
 
     from ..core.lazy import LazyVolume
-    from ..ops.transfer import to_host
 
     with prof("rumba.post"):
         # Energy normalization + iso embedding + GFA, all on device
@@ -857,17 +856,19 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             fodf_full, f_iso_d, jnp.asarray(half_verts), jnp.asarray(nbr),
             jnp.asarray(nbr_ok), FTHRESH)
 
-        # one stacked fetch for the four scalar maps (4 round trips -> 1;
-        # each small fetch pays seconds of tunnel latency at HCP scale)
-        with prof("rumba.maps_fetch"):
-            fff = to_host(jnp.stack(
-                [fgm_d, fcsf_d, gfa_d, sig2[:, 0]], axis=0))
-        fgm_v, fcsf_v, gfa_v, var_v = (fff[0, :nmask], fff[1, :nmask],
-                                       fff[2, :nmask], fff[3, :nmask])
+        # The four scalar maps stay device-resident as one stacked array
+        # (4 round-trips -> 1: each small fetch pays seconds of tunnel
+        # latency at HCP scale, and [N, 1] fetches take the pathological
+        # tiled-layout path) and materialize lazily on first host access
+        # — a pipeline consuming only peaks (fit->tract chain) never
+        # pays the transfer.
+        maps_d = jnp.stack([fgm_d, fcsf_d, gfa_d, sig2[:, 0]], axis=0)
 
-    def vol_of(arr, nframes):
-        m = MRI.like(mask, nframes, np.float32)
-        m.vol = scatter_frames(arr, idx, shape3)
+    from ..core.lazy import lazy_stack_volumes
+
+    def vol_of(lazy_map):
+        m = MRI.like(mask, 1, np.float32)
+        m.vol = lazy_map
         return m
 
     # Peak volumes stay device-resident (fetched lazily on host access,
@@ -888,13 +889,14 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     fodf_mri = MRI.like(mask, nvert, np.float32)
     fodf_mri.vol = LazyVolume(fodf_full, idx, shape3, nvert)
 
+    fgm_l, fcsf_l, gfa_l, var_l = lazy_stack_volumes(maps_d, idx, shape3)
     return RUMBASD(
         fodf=fodf_mri,
-        fgm=vol_of(fgm_v.astype(np.float32), 1),
-        fcsf=vol_of(fcsf_v.astype(np.float32), 1),
+        fgm=vol_of(fgm_l),
+        fcsf=vol_of(fcsf_l),
         peak=peak,
-        gfa=vol_of(gfa_v.astype(np.float32), 1),
-        var=vol_of(var_v.astype(np.float32), 1),
+        gfa=vol_of(gfa_l),
+        var=vol_of(var_l),
         snr_mean=snr_mean,
         snr_std=snr_std,
         _peak_dev=peak_dev,

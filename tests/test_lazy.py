@@ -37,6 +37,36 @@ def test_lazy_volume_materializes_once(rng):
     assert m.vol is got
 
 
+def test_lazy_stack_volumes_share_one_fetch(rng, monkeypatch):
+    """k stacked maps materialize from ONE wide device->host transfer
+    (models/rumba.py returns its four scalar maps this way)."""
+    from fibers_tpu.core import lazy as lazy_mod
+    from fibers_tpu.core.lazy import lazy_stack_volumes
+    from fibers_tpu.ops import transfer
+
+    shape3 = (4, 5, 3)
+    idx = np.array([0, 7, 13, 30], np.int64)
+    stack = jnp.asarray(rng.standard_normal((3, 8)).astype(np.float32))
+
+    calls = []
+    real = transfer.to_host
+
+    def counting(x, **kw):
+        calls.append(x.shape)
+        return real(x, **kw)
+
+    monkeypatch.setattr(transfer, "to_host", counting)
+    vols = lazy_stack_volumes(stack, idx, shape3)
+    assert len(vols) == 3 and not calls    # nothing fetched yet
+    outs = [np.asarray(v) for v in vols]
+    assert len(calls) == 1                 # ONE shared fetch
+    for i, o in enumerate(outs):
+        assert o.shape == shape3
+        np.testing.assert_allclose(
+            o.reshape(-1)[idx], np.asarray(stack)[i, :4], rtol=1e-6)
+        assert o.reshape(-1)[1] == 0
+
+
 def test_mri_vol_plain_assignment_roundtrip(rng):
     m = _mri((3, 3, 2))
     arr = rng.standard_normal((3, 3, 2)).astype(np.float32)
