@@ -173,7 +173,11 @@ def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False,
     t0 = time.time()
     rum = ft.rumba_rec(dwi, maskm, ft.sphere_724, niter=niter,
                        tv_bf16=tv_bf16, abort_s_per_iter=abort_pace)
-    np.asarray(rum.peak[0].vol)   # materialize peaks; fodf stays lazy
+    # force the peak kernel to completion on DEVICE (the chain consumes
+    # device-resident peaks; fetching a volume here would bill ~10 MB of
+    # tunnel wire to a stage no pipeline pays)
+    from fibers_tpu.ops.transfer import sync
+    sync(rum._peak_dev.vecs)
     t_rumba = time.time() - t0
     sys.stderr.write(f"rumba_rec {niter} iters: {t_rumba:.1f}s "
                      f"snr={rum.snr_mean:.1f}\n")
