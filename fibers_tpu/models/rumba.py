@@ -159,8 +159,10 @@ def _tv_stencil(v, lam):
     gy = jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1) - v
     gz = jnp.concatenate([v[:, :, 1:], v[:, :, -1:]], axis=2) - v
 
-    norm = jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-7)
-    gx, gy, gz = gx / norm, gy / norm, gz / norm
+    # one divide + three multiplies (matches the Pallas kernel's
+    # formulation so the two stay bit-identical; see tv_stencil.py)
+    ninv = 1.0 / jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-7)
+    gx, gy, gz = gx * ninv, gy * ninv, gz * ninv
 
     # Divergence with boundary rows (reference: src/rusd.jl:194-206)
     def ddiv(gr, ax):

@@ -55,10 +55,15 @@ def _tv_kernel(v_ref, vn_ref, lam_ref, out_ref, prev_gxn_ref):
     gz = (jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1)
           - v).astype(jnp.float32)
 
-    norm = jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-7)
-    gxn = gx / norm
-    gyn = gy / norm
-    gzn = gz / norm
+    # One divide + three multiplies instead of three divides: the kernel
+    # is EUP-bound (bf16 inputs only bought 6%), and divide/sqrt are the
+    # multi-cycle ops.  g * (1/norm) rounds within 1 ulp of g / norm and
+    # keeps cross-backend parity with the XLA stencil, which uses the
+    # identical formulation.
+    ninv = 1.0 / jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-7)
+    gxn = gx * ninv
+    gyn = gy * ninv
+    gzn = gz * ninv
 
     @pl.when(i == 0)
     def _():
