@@ -108,6 +108,13 @@ def lib():
         ]
         cdll.decode_delta_trk_records.restype = None
 
+        cdll.unpack_sext6.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8),
+        ]
+        cdll.unpack_sext6.restype = None
+
         cdll.gather_quant_u16.argtypes = [
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64),
@@ -168,3 +175,7 @@ def as_u16_ptr(a):
 
 def as_u8_ptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def as_u32_ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))

@@ -102,6 +102,35 @@ void decode_delta_trk_records(const int8_t *q, const int64_t *off,
     }
 }
 
+/* Expand the 6-bit wire (tract/stream.py _compact mode="i6") back to
+ * int8: each group of 16 sign-offset 6-bit fields lives in 3 uint32
+ * words (values 5 and 10 straddle word boundaries).  One streaming
+ * pass; the expanded buffer then feeds the existing int8 delta
+ * decoders unchanged. */
+void unpack_sext6(const uint32_t *w, int64_t nvals, int8_t *out)
+{
+    int64_t ngroups = (nvals + 15) / 16;
+#pragma omp parallel for schedule(static)
+    for (int64_t g = 0; g < ngroups; g++) {
+        const uint32_t w0 = w[g * 3], w1 = w[g * 3 + 1],
+                       w2 = w[g * 3 + 2];
+        uint32_t v[16];
+        v[0] = w0;        v[1] = w0 >> 6;  v[2] = w0 >> 12;
+        v[3] = w0 >> 18;  v[4] = w0 >> 24;
+        v[5] = (w0 >> 30) | (w1 << 2);
+        v[6] = w1 >> 4;   v[7] = w1 >> 10; v[8] = w1 >> 16;
+        v[9] = w1 >> 22;
+        v[10] = (w1 >> 28) | (w2 << 4);
+        v[11] = w2 >> 2;  v[12] = w2 >> 8; v[13] = w2 >> 14;
+        v[14] = w2 >> 20; v[15] = w2 >> 26;
+        int64_t base = g * 16;
+        int64_t lim = nvals - base;
+        if (lim > 16) lim = 16;
+        for (int64_t k = 0; k < lim; k++)
+            out[base + k] = (int8_t)((int32_t)(v[k] & 63u) - 32);
+    }
+}
+
 /* Gather rows of a C-contiguous [nvox, nvol] float32 matrix at `idx`
  * and quantize to uint16 (round-half-up of v/scale, negatives and
  * overflow clipped) in ONE pass — the host side of the u16 signal wire

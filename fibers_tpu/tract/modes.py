@@ -42,10 +42,11 @@ def _seed_state(seeds, subs, ovecs_flat, shape3):
 # LCM probabilistic mode
 # ------------------------------------------------------------------ #
 
-@partial(jax.jit, static_argnames=("nsteps", "shape3", "emit", "qscale"))
+@partial(jax.jit,
+         static_argnames=("nsteps", "shape3", "emit", "qscale", "dmax"))
 def _propagate_lcm(key, pos0, vec0, npts0, mask_flat, ovecs_flat, lcms_flat,
                    dxyz, nsteps, shape3, step_size, smooth_coeff, len_max,
-                   emit="points", qscale=254.0):
+                   emit="points", qscale=254.0, dmax=127):
     """One direction of LCM-guided propagation.
 
     Carries the previously chosen vector index (the reference continues
@@ -147,7 +148,8 @@ def _propagate_lcm(key, pos0, vec0, npts0, mask_flat, ovecs_flat, lcms_flat,
         npts = npts + save.astype(jnp.int32)
 
         if emit == "deltas":
-            d = jnp.clip(jnp.round((pos - pos_q) * qscale), -127.0, 127.0)
+            d = jnp.clip(jnp.round((pos - pos_q) * qscale),
+                         -float(dmax), float(dmax))
             d = jnp.where(save[:, None], d, 0.0)
             pos_q = pos_q + d * (1.0 / qscale)
             out = d.astype(jnp.int8)
@@ -233,7 +235,7 @@ def stream_lcm(ovecs, fs, mask_array, seed, lcms, cfg, nsub, ang_thresh,
     from .stream import _drive_wire, _pack_meta, _wire_mode
 
     nsteps = int(len_max) + 2
-    mode, emit, qscale = _wire_mode(cfg, step_size)
+    mode, emit, qscale, dmax = _wire_mode(cfg, step_size)
 
     starts = list(range(0, len(seeds_all), cfg.chunk))
     # per-chunk PRNG keys, fixed up front so the draw sequence does not
@@ -250,11 +252,11 @@ def stream_lcm(ovecs, fs, mask_array, seed, lcms, cfg, nsub, ang_thresh,
         fpts, fsav, fflag, nf, fq = _propagate_lcm(
             kf, pos0, v0, zero, mask_flat, ovecs_flat, lcms_flat, dxyz_j,
             nsteps, shape3, float(step_size), float(smooth_coeff),
-            int(len_max), emit, qscale)
+            int(len_max), emit, qscale, dmax)
         bpts, bsav, bflag, _, _bq = _propagate_lcm(
             kb, pos0, -v0, nf, mask_flat, ovecs_flat, lcms_flat, dxyz_j,
             nsteps, shape3, float(step_size), float(smooth_coeff),
-            int(len_max), emit, qscale)
+            int(len_max), emit, qscale, dmax)
         fwd_n = fsav.sum(axis=0).astype(jnp.int32)
         bwd_n = bsav.sum(axis=0).astype(jnp.int32)
         meta = _pack_meta(fwd_n, bwd_n, fq)
@@ -294,11 +296,12 @@ def _search_window(search_dist):
     return off[keep].astype(np.int32), dirs[keep].astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("nsteps", "shape3", "emit", "qscale"))
+@partial(jax.jit,
+         static_argnames=("nsteps", "shape3", "emit", "qscale", "dmax"))
 def _propagate_micro(pos0, vec0, npts0, mask_flat, ovecs_flat, win_off,
                      win_dir, nsteps, shape3, step_size, cosang_thresh,
                      search_cosang, smooth_coeff, len_max,
-                     emit="points", qscale=1.0):
+                     emit="points", qscale=1.0, dmax=127):
     from .stream import _flat_index
 
     def step(carry, _):
@@ -340,8 +343,9 @@ def _propagate_micro(pos0, vec0, npts0, mask_flat, ovecs_flat, win_off,
         if emit == "deltas":
             # micro jumps land on integer voxels: with qscale=1 and
             # integer seeds the deltas are exact (stream_micro enforces
-            # this before choosing the i8 wire)
-            d = jnp.clip(jnp.round((pos - pos_q) * qscale), -127.0, 127.0)
+            # this before choosing an integer wire)
+            d = jnp.clip(jnp.round((pos - pos_q) * qscale),
+                         -float(dmax), float(dmax))
             d = jnp.where(save[:, None], d, 0.0)
             pos_q = pos_q + d * (1.0 / qscale)
             out = d.astype(jnp.int8)
@@ -412,22 +416,22 @@ def stream_micro(ovecs, fs, mask_array, seed, cfg, nsub, ang_thresh,
     cosang_thresh = float(np.cos(np.radians(ang_thresh)))
     search_cosang = float(np.cos(np.radians(cfg.search_ang)))
 
-    mode, emit, qscale = _wire_mode(cfg, step_size)
-    if mode == "i8":
+    mode, emit, qscale, dmax = _wire_mode(cfg, step_size)
+    if mode in ("i8", "i6"):
         # per-axis jump can reach search_dist + the tentative step
         if (nsub == 0
-                and int(cfg.search_dist) + int(np.ceil(step_size)) < 127):
+                and int(cfg.search_dist) + int(np.ceil(step_size)) < dmax):
             # cone-search jumps land on integer voxels and the seeds are
             # integers: unit-quantum deltas are EXACT
             qscale = 1.0
         else:
             # fractional seeds would quantize at 1 voxel; cone-search
-            # jumps can also exceed the int8 delta range
-            if cfg.wire == "i8":
+            # jumps can also exceed the integer delta range
+            if cfg.wire in ("i8", "i6"):
                 import warnings
                 warnings.warn(
-                    "stream_micro: wire='i8' cannot represent this "
-                    f"configuration (nsub={nsub}, "
+                    f"stream_micro: wire={cfg.wire!r} cannot represent "
+                    f"this configuration (nsub={nsub}, "
                     f"search_dist={cfg.search_dist}, "
                     f"step_size={step_size}); using exact f32 points "
                     "instead", RuntimeWarning, stacklevel=2)
@@ -444,11 +448,11 @@ def stream_micro(ovecs, fs, mask_array, seed, cfg, nsub, ang_thresh,
         fpts, fsav, nf, fq = _propagate_micro(
             pos0, v0, zero, mask_flat, ovecs_flat, win_off_j, win_dir_j,
             nsteps, shape3, float(step_size), cosang_thresh, search_cosang,
-            float(smooth_coeff), int(len_max), emit, qscale)
+            float(smooth_coeff), int(len_max), emit, qscale, dmax)
         bpts, bsav, _, _bq = _propagate_micro(
             pos0, -v0, nf, mask_flat, ovecs_flat, win_off_j, win_dir_j,
             nsteps, shape3, float(step_size), cosang_thresh, search_cosang,
-            float(smooth_coeff), int(len_max), emit, qscale)
+            float(smooth_coeff), int(len_max), emit, qscale, dmax)
         fwd_n = fsav.sum(axis=0).astype(jnp.int32)
         bwd_n = bsav.sum(axis=0).astype(jnp.int32)
         meta = _pack_meta(fwd_n, bwd_n, fq)

@@ -102,8 +102,10 @@ class StreamConfig:
     # bounded at ~2*step_size/127 voxels, no drift)
     exact_points: bool = False
     # Point wire encoding: "auto" picks int8 deltas on accelerators and
-    # exact f32 on CPU; "i8"/"f32" force one codec regardless of backend
-    # (so the production codec is testable on CPU CI).
+    # exact f32 on CPU; "i8"/"i6"/"f32" force one codec regardless of
+    # backend (so the production codecs are testable on CPU CI).  "i6"
+    # packs 6-bit deltas — 25% fewer device->host bytes than i8 at a
+    # coarser, still drift-free bound (~2*step_size/31 voxels).
     wire: str = "auto"
     # Stream lines to this .trk path as they are fetched (file output
     # overlaps device transfers; the returned Tract carries header +
@@ -144,10 +146,11 @@ def _pick_by_angle(vec_now, vecs):
     return vnext, ok, ivec
 
 
-@partial(jax.jit, static_argnames=("nsteps", "shape3", "emit", "qscale"))
+@partial(jax.jit,
+         static_argnames=("nsteps", "shape3", "emit", "qscale", "dmax"))
 def _propagate(pos0, vec0, npts0, ovecs_flat, nsteps, shape3,
                step_size, cosang_thresh, smooth_coeff, len_max,
-               emit="points", qscale=254.0):
+               emit="points", qscale=254.0, dmax=127):
     """Lockstep propagation of one direction for S streams.
 
     Masking is baked into the orientation vectors: callers zero every
@@ -190,7 +193,8 @@ def _propagate(pos0, vec0, npts0, ovecs_flat, nsteps, shape3,
         npts = npts + save.astype(jnp.int32)
 
         if emit == "deltas":
-            d = jnp.clip(jnp.round((pos - pos_q) * qscale), -127.0, 127.0)
+            d = jnp.clip(jnp.round((pos - pos_q) * qscale),
+                         -float(dmax), float(dmax))
             d = jnp.where(save[:, None], d, 0.0)
             pos_q = pos_q + d * (1.0 / qscale)
             out = d.astype(jnp.int8)
@@ -220,7 +224,7 @@ def _propagate(pos0, vec0, npts0, ovecs_flat, nsteps, shape3,
 
 def propagate_chunk(seeds, subs, ovecs_flat, shape3, nsteps,
                     step_size, cosang_thresh, smooth_coeff, len_max,
-                    emit="points", qscale=254.0):
+                    emit="points", qscale=254.0, dmax=127):
     """Run forward+backward propagation for a chunk of seed positions.
 
     seeds: [S, 3] float voxel positions (seed voxel + subvoxel offset).
@@ -239,10 +243,12 @@ def propagate_chunk(seeds, subs, ovecs_flat, shape3, nsteps,
     zero = jnp.zeros(pos0.shape[0], jnp.int32)
     fwd_out, fwd_saved, npts_f, fwd_q = _propagate(
         pos0, v0, zero, ovecs_flat, nsteps, shape3,
-        step_size, cosang_thresh, smooth_coeff, len_max, emit, qscale)
+        step_size, cosang_thresh, smooth_coeff, len_max, emit, qscale,
+        dmax)
     bwd_out, bwd_saved, npts_t, _bwd_q = _propagate(
         pos0, -v0, npts_f, ovecs_flat, nsteps, shape3,
-        step_size, cosang_thresh, smooth_coeff, len_max, emit, qscale)
+        step_size, cosang_thresh, smooth_coeff, len_max, emit, qscale,
+        dmax)
 
     fwd_n = fwd_saved.sum(axis=0).astype(jnp.int32)
     bwd_n = bwd_saved.sum(axis=0).astype(jnp.int32)
@@ -293,11 +299,17 @@ def _compact(fwd_out, bwd_out, fwd_n, bwd_n, keep, line_off, cap,
     mode="f32": fwd/bwd_out are saved positions; the wire buffer is
     [cap*3] float32 positions in line order.
     mode="i8":  fwd/bwd_out are int8 step deltas; the wire buffer is
-    [cap*3/4] float32 words holding 4 packed int8 line-order deltas each
+    [cap*3/4] uint32 words holding 4 packed int8 line-order deltas each
     (delta[j] = point[j] - point[j-1]; forward deltas are negated and
     shifted by one because that segment is laid out reversed).  Flat +
-    f32: large narrow-minor-dim or sub-32-bit outputs take tiled-padded
-    layouts (42.7x memory) or a 30x-slower wire path on this runtime.
+    32-bit: large narrow-minor-dim or sub-32-bit outputs take
+    tiled-padded layouts (42.7x memory) or a 30x-slower wire path on
+    this runtime.
+
+    mode="i6":  same delta layout, but each delta is a 6-bit sign-offset
+    field (+32) and 16 consecutive fields pack exactly into 3 uint32
+    words — 25% fewer wire bytes than i8 (2.25 B/point).  Callers emit
+    deltas quantized to [-31, 31] (qscale = 31/step_size).
     """
     nsteps, s = fwd_out.shape[:2]
     t_idx = jnp.arange(nsteps, dtype=jnp.int32)[:, None]
@@ -336,6 +348,21 @@ def _compact(fwd_out, bwd_out, fwd_n, bwd_n, keep, line_off, cap,
         (-fwd_out).reshape(-1), mode="drop", unique_indices=True)
     out = out.at[dst_b3].set(
         bwd_out.reshape(-1), mode="drop", unique_indices=True)
+
+    if mode == "i6":
+        # 16 sign-offset 6-bit fields -> 3 uint32 words (fields 5 and 10
+        # straddle word boundaries); cap*3 is divisible by 16 because
+        # cap >= 2^16.  Inverse: native unpack_sext6 / _unpack6.
+        b = (out.astype(jnp.uint32) + 32) & 63
+        g = b.reshape(-1, 16)
+        w0 = (g[:, 0] | (g[:, 1] << 6) | (g[:, 2] << 12)
+              | (g[:, 3] << 18) | (g[:, 4] << 24) | ((g[:, 5] & 3) << 30))
+        w1 = ((g[:, 5] >> 2) | (g[:, 6] << 4) | (g[:, 7] << 10)
+              | (g[:, 8] << 16) | (g[:, 9] << 22)
+              | ((g[:, 10] & 15) << 28))
+        w2 = ((g[:, 10] >> 4) | (g[:, 11] << 2) | (g[:, 12] << 8)
+              | (g[:, 13] << 14) | (g[:, 14] << 20) | (g[:, 15] << 26))
+        return jnp.stack([w0, w1, w2], axis=1).reshape(-1)
 
     b = out.astype(jnp.uint32) & 0xFF
     packed = (b[0::4] | (b[1::4] << 8) | (b[2::4] << 16)
@@ -414,7 +441,46 @@ def _fetch_wire(buf, total, mode):
         if mode == "i8":
             nwords = (total * 3 + 3) // 4
             return to_host(buf, n_lead=nwords)
+        if mode == "i6":
+            nwords = ((total * 3 + 15) // 16) * 3
+            return to_host(buf, n_lead=nwords)
         return to_host(buf, n_lead=total * 3)
+
+
+def _unpack6(raw, nvals):
+    """Expand the packed 6-bit wire (uint32 words; 16 sign-offset fields
+    per 3 words, _compact mode="i6") to int8 deltas of length >= nvals,
+    which then feed the int8 decoders unchanged."""
+    w = np.ascontiguousarray(raw.view(np.uint32))
+    ngroups = (nvals + 15) // 16
+    out = np.empty(ngroups * 16, np.int8)
+    from .. import native
+    clib = native.lib()
+    if clib is not None:
+        clib.unpack_sext6(native.as_u32_ptr(w),
+                          np.int64(ngroups * 16), native.as_i8_ptr(out))
+        return out
+    g = w[:ngroups * 3].reshape(-1, 3)
+    w0, w1, w2 = g[:, 0], g[:, 1], g[:, 2]
+    v = np.empty((ngroups, 16), np.uint32)
+    v[:, 0] = w0
+    v[:, 1] = w0 >> 6
+    v[:, 2] = w0 >> 12
+    v[:, 3] = w0 >> 18
+    v[:, 4] = w0 >> 24
+    v[:, 5] = (w0 >> 30) | (w1 << np.uint32(2))
+    v[:, 6] = w1 >> 4
+    v[:, 7] = w1 >> 10
+    v[:, 8] = w1 >> 16
+    v[:, 9] = w1 >> 22
+    v[:, 10] = (w1 >> 28) | (w2 << np.uint32(4))
+    v[:, 11] = w2 >> 2
+    v[:, 12] = w2 >> 8
+    v[:, 13] = w2 >> 14
+    v[:, 14] = w2 >> 20
+    v[:, 15] = w2 >> 26
+    out[:] = ((v & 63).astype(np.int16) - 32).astype(np.int8).reshape(-1)
+    return out
 
 
 def _decode_points(raw, total, mode, npts=None, anchors=None, out=None,
@@ -423,7 +489,11 @@ def _decode_points(raw, total, mode, npts=None, anchors=None, out=None,
     when given, avoiding a concatenation pass).
 
     mode="i8": raw holds packed int8 line-order deltas; reconstruct each
-    line as anchor + cumulative deltas / qscale."""
+    line as anchor + cumulative deltas / qscale.
+    mode="i6": 6-bit fields — expanded to int8, then decoded as i8."""
+    if mode == "i6":
+        raw = _unpack6(raw, total * 3)
+        mode = "i8"
     if out is None:
         out = np.empty((total, 3), np.float32)
     if mode == "i8":
@@ -457,19 +527,23 @@ def _decode_points(raw, total, mode, npts=None, anchors=None, out=None,
 def _wire_mode(cfg, step_size):
     """Resolve the point wire encoding: exact float32 positions on CPU
     (or on user opt-out); int8 error-feedback deltas on accelerators,
-    where the device->host link is the bottleneck.  cfg.wire forces one
-    codec explicitly.  Returns (mode, emit, qscale)."""
-    if cfg.wire not in ("auto", "f32", "i8"):
+    where the device->host link is the bottleneck; opt-in 6-bit deltas
+    ("i6") for 25% fewer wire bytes at a coarser but still drift-free
+    bound (~2/qscale = step/15.5 voxels at every point; 0.032 vox at
+    the default 0.5-vox step).  cfg.wire forces one codec explicitly.
+    Returns (mode, emit, qscale, dmax)."""
+    if cfg.wire not in ("auto", "f32", "i8", "i6"):
         raise ValueError(f"Unknown wire mode {cfg.wire!r} "
-                         "(expected auto/f32/i8)")
+                         "(expected auto/f32/i8/i6)")
     if cfg.wire == "auto":
         mode = "f32" if (cfg.exact_points
                          or jax.default_backend() == "cpu") else "i8"
     else:
         mode = "f32" if cfg.exact_points else cfg.wire
     emit = "points" if mode == "f32" else "deltas"
-    # full int8 range per step regardless of the configured step size
-    return mode, emit, 127.0 / max(float(step_size), 1e-6)
+    # full quantizer range per step regardless of the configured step
+    dmax = 31 if mode == "i6" else 127
+    return mode, emit, dmax / max(float(step_size), 1e-6), dmax
 
 
 def _decode_scalars(raw, total):
@@ -509,7 +583,7 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
     # int8 chunks are small so everything phases at once, but exact-f32
     # chunks are ~0.9 GB each at the default chunk — bound those to
     # waves of 2.
-    wave = len(starts) if mode == "i8" else 2
+    wave = len(starts) if mode in ("i8", "i6") else 2
 
     bufs = []
     for w0 in range(0, len(starts), wave):
@@ -577,11 +651,12 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
         with TrkSink(cfg.trk_sink, tr, len(npts)) as sink:
             for (raw, sraw), (_, sbuf, total, npts_c, anch_k) in zip(
                     fetched(), live):
-                if mode == "i8" and sraw is None:
+                if mode in ("i8", "i6") and sraw is None:
                     # fused native path: wire deltas -> trk record bytes
                     # in one pass (no [total, 3] f32 intermediate)
-                    if sink.append_deltas(raw.view(np.int8), npts_c,
-                                          anch_k, qscale):
+                    q8 = (raw.view(np.int8) if mode == "i8"
+                          else _unpack6(raw, total * 3))
+                    if sink.append_deltas(q8, npts_c, anch_k, qscale):
                         continue
                 pts = _decode_points(raw, total, mode, npts=npts_c,
                                      anchors=anch_k, qscale=qscale)
@@ -954,7 +1029,8 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
     ~2*step_size/127 ~= 0.008 voxel at the default step, with no drift).
     Pass `exact_points=True` (or `wire="f32"`) for bit-exact float32
     points at ~4x the device->host transfer cost; on CPU the exact path
-    is already the default.  See docs/parity.md.
+    is already the default.  `wire="i6"` shrinks the transfer a further
+    25% (bound ~2*step_size/31 ~= 0.032 voxel).  See docs/parity.md.
     """
     del odf
     work = StreamWork(ovec, f=f, fa=fa, mask=mask, cfg=cfg, **kwargs)
@@ -1054,9 +1130,9 @@ def stream(ovec: Union[MRI, List[MRI]], *, odf: Optional[MRI] = None,
             return propagate_chunk(
                 seeds_c, subs_c, ovecs_flat,
                 shape3, nsteps, float(step_size), cosang_thresh,
-                float(smooth_coeff), int(len_max), emit, qscale)
+                float(smooth_coeff), int(len_max), emit, qscale, dmax)
 
-    mode, emit, qscale = _wire_mode(cfg, step_size)
+    mode, emit, qscale, dmax = _wire_mode(cfg, step_size)
 
     # Empty seed set (e.g. a mask emptied by thresholds): empty Tract
     if len(seeds_all) == 0:

@@ -1,5 +1,7 @@
 """Tractography tests: lockstep integrator semantics on synthetic fields."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -384,6 +386,65 @@ class TestWireCodec:
         back = ft.trk_read(p)
         assert back.n_count == tr_mem.n_count
         assert np.allclose(back.packed_xyz, tr_mem.packed_xyz, atol=1e-4)
+
+    def test_i6_matches_f32(self):
+        """The packed 6-bit wire tracks the exact path within its coarser
+        error-feedback bound (2/qscale at qscale=31/step), with identical
+        line structure."""
+        ov, mask, seedm = self._curved_setup()
+        kw = dict(mask=_mask_mri(ov, mask), seed=_mask_mri(ov, seedm),
+                  nsub=2, seed_rng=3, len_max=60)
+        tr_exact = ft.stream(ov, wire="f32", **kw)
+        tr_i6 = ft.stream(ov, wire="i6", **kw)
+
+        assert tr_i6.n_count == tr_exact.n_count > 0
+        assert np.array_equal(np.asarray(tr_i6.npts),
+                              np.asarray(tr_exact.npts))
+        qscale = 31.0 / 0.5
+        err = np.abs(tr_i6.packed_xyz - tr_exact.packed_xyz).max()
+        assert err <= 2.0 / qscale, f"wire error {err} > 2/qscale"
+
+    def test_i6_sink_consistent(self, tmp_path):
+        ov, mask, seedm = self._curved_setup()
+        kw = dict(mask=_mask_mri(ov, mask), seed=_mask_mri(ov, seedm),
+                  nsub=1, len_max=60)
+        tr_mem = ft.stream(ov, wire="i6", **kw)
+        p = str(tmp_path / "i6.trk")
+        ft.stream(ov, wire="i6", trk_sink=p, **kw)
+        back = ft.trk_read(p)
+        assert back.n_count == tr_mem.n_count
+        assert np.allclose(back.packed_xyz, tr_mem.packed_xyz, atol=1e-4)
+
+    def test_unpack6_roundtrip_exact(self):
+        """_compact's 16->3-word packing and _unpack6 (native + numpy
+        fallback) are exact inverses over the full 6-bit range."""
+        from fibers_tpu.tract.stream import _unpack6
+
+        rng = np.random.default_rng(7)
+        vals = rng.integers(-32, 32, 1 << 16).astype(np.int8)
+        b = (vals.astype(np.uint32) + 32) & 63
+        g = b.reshape(-1, 16).T
+        w0 = (g[0] | (g[1] << 6) | (g[2] << 12) | (g[3] << 18)
+              | (g[4] << 24) | ((g[5] & 3) << 30))
+        w1 = ((g[5] >> 2) | (g[6] << 4) | (g[7] << 10) | (g[8] << 16)
+              | (g[9] << 22) | ((g[10] & 15) << 28))
+        w2 = ((g[10] >> 4) | (g[11] << 2) | (g[12] << 8) | (g[13] << 14)
+              | (g[14] << 20) | (g[15] << 26))
+        words = np.stack([w0, w1, w2], axis=1).reshape(-1)
+
+        got = _unpack6(words, len(vals))
+        assert np.array_equal(got[:len(vals)], vals)
+
+        import fibers_tpu.native as native
+        if native.lib() is not None:
+            os.environ["FIBERS_NO_NATIVE"] = "1"
+            try:
+                saved, native._lib, native._tried = native._lib, None, False
+                got_np = _unpack6(words, len(vals))
+                assert np.array_equal(got_np[:len(vals)], vals)
+            finally:
+                native._lib, native._tried = saved, True
+                del os.environ["FIBERS_NO_NATIVE"]
 
     def test_bad_wire_mode(self):
         ov, mask, seedm = self._curved_setup()
