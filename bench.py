@@ -178,9 +178,12 @@ def main():
         t1 = time.time()
         pk1 = ft.peaks_to_ovecs(gqi, device=True).first(1)
         outdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        # wire="i6": packed 6-bit point deltas, 25% fewer bytes on the
+        # dominant device->host point fetch; reconstruction error is
+        # bounded at 2*step/31 = 0.032 voxel at every point (no drift)
         with tempfile.TemporaryDirectory(dir=outdir) as d:
             tract = ft.stream(pk1, fa=dti.fa, mask=mask, seed=seed,
-                              nsub=3, f_thresh=0.0,
+                              nsub=3, f_thresh=0.0, wire="i6",
                               trk_sink=os.path.join(d, "bench.trk"))
         t_stream = time.time() - t1
 

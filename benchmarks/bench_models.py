@@ -230,9 +230,10 @@ def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False,
 
         t2 = time.time()
         outdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        # wire="i6": 25% fewer point-fetch bytes (bound 0.032 voxel)
         with tempfile.TemporaryDirectory(dir=outdir) as d:
-            tract = ft.stream(pk, mask=maskm, seed=seed,
-                              nsub=3, trk_sink=os.path.join(d, "rumba.trk"))
+            tract = ft.stream(pk, mask=maskm, seed=seed, nsub=3,
+                              wire="i6", trk_sink=os.path.join(d, "rumba.trk"))
         t_tract = time.time() - t2
         sys.stderr.write(f"rumba->stream: {t_tract:.1f}s "
                          f"({tract.n_count} streamlines)\n")

@@ -583,6 +583,41 @@ class TrkSink:
         self._written += n
         return True
 
+    def append_deltas6(self, words: np.ndarray, npts: np.ndarray,
+                       anchors: np.ndarray, qscale: float) -> bool:
+        """append_deltas for the packed 6-bit wire (`words` uint32, see
+        tract/stream.py _compact mode="i6"): fused native field-extract +
+        decode + record pack, skipping even the int8 expansion.  Returns
+        False when the native helper is unavailable."""
+        from .. import native
+        from ..utils.profiling import prof
+
+        clib = native.lib()
+        if clib is None or not hasattr(clib, "decode_delta6_trk_records"):
+            return False
+        npts32 = np.ascontiguousarray(npts, np.int32)
+        n = len(npts32)
+        if n == 0:
+            return True
+        off = np.zeros(n, np.int64)
+        np.cumsum(npts32[:-1], dtype=np.int64, out=off[1:])
+        total = int(off[-1] + npts32[-1])
+        with prof("trk.sink_append_fused"):
+            w = np.ascontiguousarray(words.view(np.uint32))
+            need = ((total * 3 + 15) // 16) * 3
+            if len(w) < need:
+                return False
+            anch = np.ascontiguousarray(anchors, np.float32)
+            out = np.empty(n + 3 * total, np.float32)
+            clib.decode_delta6_trk_records(
+                native.as_u32_ptr(w), native.as_i64_ptr(off),
+                native.as_i32_ptr(npts32), native.as_f32_ptr(anch),
+                n, np.float32(1.0 / qscale), native.as_f32_ptr(self._vsz),
+                native.as_f32_ptr(out))
+            out.astype("<f4", copy=False).tofile(self._f)
+        self._written += n
+        return True
+
     def close(self) -> None:
         self._f.close()
         # The header's n_count was written up front; a mismatch with what

@@ -108,6 +108,17 @@ def lib():
         ]
         cdll.decode_delta_trk_records.restype = None
 
+        cdll.decode_delta6_trk_records.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        cdll.decode_delta6_trk_records.restype = None
+
         cdll.unpack_sext6.argtypes = [
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int64,

@@ -102,6 +102,52 @@ void decode_delta_trk_records(const int8_t *q, const int64_t *off,
     }
 }
 
+/* The i6 wire is a flat little-endian stream of 6-bit sign-offset
+ * fields over 32-bit words (16 fields per 3 words; fields 5 and 10
+ * straddle word boundaries).  Extract field `idx`. */
+static inline int32_t get6(const uint32_t *w, int64_t idx)
+{
+    uint64_t bit = (uint64_t)idx * 6;
+    uint32_t v = w[bit >> 5] >> (bit & 31);
+    unsigned sh = (unsigned)(bit & 31);
+    if (sh > 26)
+        v |= w[(bit >> 5) + 1] << (32 - sh);
+    return (int32_t)(v & 63u) - 32;
+}
+
+/* Fused 6-bit-wire decode + TrackVis record pack: the i6 counterpart of
+ * decode_delta_trk_records — one pass from the fetched uint32 wire
+ * straight to .trk record bytes, skipping both the int8 expansion and
+ * the [total, 3] float32 intermediate. */
+void decode_delta6_trk_records(const uint32_t *q, const int64_t *off,
+                               const int32_t *npts, const float *anchors,
+                               int64_t nlines, float inv_scale,
+                               const float *vsz, float *out)
+{
+    const float sx = vsz[0], sy = vsz[1], sz = vsz[2];
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < nlines; i++) {
+        int64_t j = off[i] * 3;
+        float *dst = out + j + i;
+        const float ax = anchors[i * 3], ay = anchors[i * 3 + 1],
+                    az = anchors[i * 3 + 2];
+        int32_t m = npts[i];
+        memcpy(dst, &m, sizeof(int32_t));
+        dst++;
+        int32_t cx = 0, cy = 0, cz = 0;
+        for (int32_t k = 0; k < m; k++) {
+            cx += get6(q, j);
+            cy += get6(q, j + 1);
+            cz += get6(q, j + 2);
+            dst[0] = (ax + cx * inv_scale + 0.5f) * sx;
+            dst[1] = (ay + cy * inv_scale + 0.5f) * sy;
+            dst[2] = (az + cz * inv_scale + 0.5f) * sz;
+            j += 3;
+            dst += 3;
+        }
+    }
+}
+
 /* Expand the 6-bit wire (tract/stream.py _compact mode="i6") back to
  * int8: each group of 16 sign-offset 6-bit fields lives in 3 uint32
  * words (values 5 and 10 straddle word boundaries).  One streaming

@@ -653,9 +653,15 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
                     fetched(), live):
                 if mode in ("i8", "i6") and sraw is None:
                     # fused native path: wire deltas -> trk record bytes
-                    # in one pass (no [total, 3] f32 intermediate)
-                    q8 = (raw.view(np.int8) if mode == "i8"
-                          else _unpack6(raw, total * 3))
+                    # in one pass (no [total, 3] f32 intermediate; i6
+                    # extracts its 6-bit fields inline too)
+                    if mode == "i6":
+                        if sink.append_deltas6(raw, npts_c, anch_k,
+                                               qscale):
+                            continue
+                        q8 = _unpack6(raw, total * 3)
+                    else:
+                        q8 = raw.view(np.int8)
                     if sink.append_deltas(q8, npts_c, anch_k, qscale):
                         continue
                 pts = _decode_points(raw, total, mode, npts=npts_c,
