@@ -220,6 +220,35 @@ class TestShardedStream:
             np.testing.assert_allclose(sharded.xyz[i], local.xyz[i],
                                        atol=1e-6)
 
+    def test_stream_sharded_i6_wire(self):
+        """The packed 6-bit wire composes with mesh sharding: _compact's
+        field packing runs under GSPMD and the sharded tract matches the
+        local i6 run exactly (same quantizer, same seeds)."""
+        _require_devices(8)
+        import fibers_tpu as ft
+
+        from fibers_tpu.parallel.mesh import make_mesh
+
+        shape = (16, 12, 10)
+        x, y, z = np.meshgrid(*[np.linspace(0, 1, s) for s in shape],
+                              indexing="ij")
+        th = 0.8 * x + 0.4 * y
+        v = np.stack([np.cos(th), np.sin(th), np.zeros_like(th)], axis=-1)
+        ov = ft.MRI(vol=v.astype(np.float32))
+        ov.vox2ras0 = np.eye(4, dtype=np.float32)
+        ov.volsize = np.asarray(shape)
+        ov.width, ov.height, ov.depth = shape
+        ov.nframes = 3
+        ov.set_geometry()
+
+        local = ft.stream(ov, nsub=2, seed_rng=7, wire="i6")
+        sharded = ft.stream(ov, nsub=2, seed_rng=7, wire="i6",
+                            mesh=make_mesh(8))
+        np.testing.assert_array_equal(np.asarray(local.npts),
+                                      np.asarray(sharded.npts))
+        np.testing.assert_allclose(sharded.packed_xyz, local.packed_xyz,
+                                   atol=1e-6)
+
 
 class TestMeshEdgeCases:
     def test_stream_mesh_chunk_not_divisible(self):
