@@ -127,7 +127,7 @@ def main():
         ((xe ** 2 / 0.81 + ye ** 2 / 0.81 + ze ** 2 / 0.92) < 1.0).sum()))
     del xe, ye, ze
     warm_e2e_async(shape, ndir, n_pad, ft.sphere_642, chunk=1 << 17,
-                   nvec=1)
+                   nvec=1, wire="i6")
 
     build_t0 = time.time()
     from benchmarks import _cache

@@ -29,7 +29,7 @@ def _sds(shape, dtype=np.float32):
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
-def _warm_e2e(shape3, nvol, n_pad, sphere, chunk, nvec):
+def _warm_e2e(shape3, nvol, n_pad, sphere, chunk, nvec, wire="i8"):
     import jax
 
     from ..core import batch as _batch
@@ -84,20 +84,21 @@ def _warm_e2e(shape3, nvol, n_pad, sphere, chunk, nvec):
 
     nsteps = int(max(shape3)) + 2
     emit = "deltas" if jax.default_backend() == "tpu" else "points"
+    dmax = 31 if wire == "i6" else 127
     jax.jit(_st._propagate.__wrapped__,
-            static_argnames=("nsteps", "shape3", "emit",
-                             "qscale")).lower(
+            static_argnames=("nsteps", "shape3", "emit", "qscale",
+                             "dmax")).lower(
         _sds((chunk, 3)), _sds((chunk, 3)), _sds((chunk,), np.int32),
         _sds((n3, nvec, 3)), nsteps, tuple(shape3), 0.5,
         float(np.cos(np.radians(45.0))), 0.2, int(max(shape3)),
-        emit=emit, qscale=254.0).compile()
+        emit=emit, qscale=dmax / 0.5, dmax=dmax).compile()
     jax.jit(_st._pack_meta.__wrapped__).lower(
         _sds((chunk,), np.int32), _sds((chunk,), np.int32),
         _sds((chunk, 3))).compile()
 
 
 def warm_e2e_async(shape3, nvol, n_pad, sphere=None, chunk=1 << 17,
-                   nvec=1) -> threading.Thread:
+                   nvec=1, wire="i8") -> threading.Thread:
     """Start compiling the DTI+GQI+stream shape bucket in the background.
 
     Returns the (daemon) thread; join() it to bound worst-case cold
@@ -111,7 +112,7 @@ def warm_e2e_async(shape3, nvol, n_pad, sphere=None, chunk=1 << 17,
     def run():
         try:
             _warm_e2e(tuple(shape3), int(nvol), int(n_pad), sphere,
-                      int(chunk), int(nvec))
+                      int(chunk), int(nvec), wire)
         except Exception as e:          # pragma: no cover
             import sys
             sys.stderr.write(f"fibers_tpu.warmup: best-effort warm-up "
