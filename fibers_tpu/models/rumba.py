@@ -576,12 +576,13 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     TV stencil volumes in bfloat16 (~half the HBM traffic of the
     dominant term; the R-L estimate itself stays float32).
 
-    `abort_s_per_iter`: when set, the wall-clock pace of the first two
-    iteration blocks is measured (one extra scalar sync) and a
-    `PaceAbortError` is raised if it exceeds this many seconds per
-    iteration — for benchmark runners on runtimes whose execution speed
-    can collapse mid-run, so a doomed timed run dies in seconds rather
-    than minutes.  Leave None (default) for production fits.
+    `abort_s_per_iter`: when set, the wall-clock pace of every ~100
+    iterations is measured (one scalar sync per segment) and a
+    `PaceAbortError` is raised when any SEGMENT exceeds this many
+    seconds per iteration — for benchmark runners on runtimes whose
+    execution speed can collapse mid-run, so a doomed timed run dies
+    within ~100 iterations of the collapse rather than running to the
+    end.  Leave None (default) for production fits.
     """
     if dwi.bval is None or len(dwi.bval) == 0:
         raise ValueError("Missing b-value table from input DWI structure")
@@ -782,21 +783,25 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     snr = 1.0 / jnp.sqrt(sig2)
     it = it_start
     import time as _time
-    # Pace gates: force completion with one scalar fetch at ~50 iters
-    # past the baseline (enough to amortize the sync's own latency) and
-    # again at mid-run (performance collapses can start after a clean
-    # opening); the sync only pauses dispatch, the device queue keeps
-    # draining.  The timer starts AFTER the first block completes so
-    # one-time jit compiles / executable staging (15-400 s on a
-    # persistent-cache miss) don't read as iteration pace.
+    # Pace gates: force completion with one scalar fetch every ~4 blocks
+    # and measure the SEGMENT pace since the previous gate (a cumulative
+    # average dilutes a mid-run collapse behind a clean opening — one
+    # observed run opened at 84 ms/iter, collapsed past the midpoint,
+    # and averaged its way through a midpoint gate to a 600-iteration
+    # 322 ms/iter total).  Each sync costs one ~40 ms round trip per
+    # ~100 iterations; the device queue keeps draining meanwhile.  The
+    # timer starts AFTER the first block completes so one-time jit
+    # compiles / executable staging (15-400 s on a persistent-cache
+    # miss) don't read as iteration pace.
     pace_t0 = None
     pace_it0 = None
     pace_gates = []
     if abort_s_per_iter is not None:
-        g1 = min(it_start + 3 * _BLOCK_ITERS, niter)
-        g2 = max(it_start + 5 * _BLOCK_ITERS, (it_start + niter) // 2)
-        pace_gates = sorted({g for g in (g1, g2)
-                             if it_start + _BLOCK_ITERS < g <= niter})
+        pace_gates = sorted(
+            {*range(it_start + 3 * _BLOCK_ITERS, niter + 1,
+                    4 * _BLOCK_ITERS), niter})
+        pace_gates = [g for g in pace_gates
+                      if it_start + _BLOCK_ITERS < g <= niter]
     with prof("rumba.iterate"):
         while it < niter:
             k = niter - it
@@ -816,11 +821,13 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             elif pace_gates and it >= pace_gates[0]:
                 pace_gates = [g for g in pace_gates if g > it]
                 np.asarray(sig2[(0,) * sig2.ndim])
-                pace = (_time.monotonic() - pace_t0) / (it - pace_it0)
+                now = _time.monotonic()
+                pace = (now - pace_t0) / (it - pace_it0)
+                seg0, pace_t0, pace_it0 = pace_it0, now, it
                 if pace > abort_s_per_iter:
                     raise PaceAbortError(
                         f"RUMBA-SD pace {pace:.3f} s/iter over "
-                        f"iterations {pace_it0}..{it} exceeds the abort "
+                        f"iterations {seg0}..{it} exceeds the abort "
                         f"budget {abort_s_per_iter:.3f} s/iter")
             if verbose:
                 sm = float(snr[:nmask].mean())
