@@ -71,12 +71,27 @@ def _slope(fn, *args, reps=3):
             b = min(b, time.perf_counter() - t0)
         best[k] = b
     slope = (best[K_HI] - best[K_LO]) / (K_HI - K_LO)
-    return max(slope, 1e-9), max(best[K_LO] - slope * K_LO, 0.0)
+    if slope <= 0:
+        # RTT swings (20-40 ms) can exceed K_HI-K_LO steps of a
+        # latency-bound kernel; a negative slope is weather noise, not
+        # a measurement — report it instead of recording nonsense.
+        return None, max(best[K_LO], 0.0)
+    return slope, max(best[K_LO] - slope * K_LO, 0.0)
 
 
 def main():
     rows = []
     floors = []
+
+    def record(name, t, rtt, achieved, pct):
+        """Append a row unless the slope was weather noise (t None);
+        achieved/pct are callables of the per-step time."""
+        floors.append(rtt)
+        if t is None:
+            sys.stderr.write(f"bench_mfu: {name}: non-positive slope "
+                             "(RTT noise exceeded signal); row skipped\n")
+            return
+        rows.append((name, achieved(t), pct(t)))
 
     hp = jax.lax.Precision.HIGH
 
@@ -85,19 +100,25 @@ def main():
     ker = jnp.ones((NDIR, NCOMP), jnp.float32) * 1e-3
     fodf0 = jnp.ones((N, NCOMP), jnp.float32)
 
+    # NB: every GEMM must consume the loop carry, or XLA's while-loop
+    # invariant code motion hoists it out of the chain and the slope
+    # counts fewer GEMMs than `raw` does (confirmed via optimized HLO:
+    # a carry-independent dot is computed once outside the body).
     @partial(jax.jit, static_argnames=("k",))
     def rl(sig, ker, f0, k):
         def body(i, f):
-            num = jnp.dot(sig, ker, precision=hp)       # [N, NCOMP]
-            den = jnp.dot(f, ker.T, precision=hp)       # [N, NDIR]
-            return num * 1e-3 + jnp.dot(den, ker, precision=hp) * 1e-6
+            dodf = jnp.dot(f, ker.T, precision=hp)      # [N, NDIR]
+            num = jnp.dot(sig * (1 + dodf * 1e-6), ker,
+                          precision=hp)                 # [N, NCOMP]
+            den = jnp.dot(dodf, ker, precision=hp)      # [N, NCOMP]
+            return f * 0.5 + num * 1e-3 + den * 1e-6
         return jax.lax.fori_loop(0, k, body, f0)
 
     t, rtt = _slope(rl, sig, ker, fodf0)
-    floors.append(rtt)
     raw = 3 * 2 * N * NDIR * NCOMP                      # 3 GEMMs / step
-    rows.append(("rumba R-L GEMM (HIGH)", raw / t / 1e12,
-                 100 * 3 * raw / t / 1e12 / V5E_BF16_TFLOPS))
+    record("rumba R-L GEMM (HIGH)", t, rtt,
+           lambda t: raw / t / 1e12,
+           lambda t: 100 * 3 * raw / t / 1e12 / V5E_BF16_TFLOPS)
 
     # --- GQI ODF GEMM ---
     sigs = jnp.ones((N, NVOL), jnp.float32)
@@ -106,16 +127,16 @@ def main():
     @partial(jax.jit, static_argnames=("k",))
     def gqi(s0, A, k):
         def body(i, s):
-            odf = jnp.dot(s, A.T,
-                          precision=jax.lax.Precision.HIGHEST)
-            return s * 0.999 + jnp.dot(odf, A) * 1e-6
+            hq = jax.lax.Precision.HIGHEST
+            odf = jnp.dot(s, A.T, precision=hq)
+            return s * 0.999 + jnp.dot(odf, A, precision=hq) * 1e-6
         return jax.lax.fori_loop(0, k, body, s0)
 
     t, rtt = _slope(gqi, sigs, A)
-    floors.append(rtt)
     raw = 2 * 2 * N * NVOL * NVERT                      # 2 GEMMs / step
-    rows.append(("GQI ODF GEMM (HIGHEST)", raw / t / 1e12,
-                 100 * 6 * raw / t / 1e12 / V5E_BF16_TFLOPS))
+    record("GQI ODF GEMM (HIGHEST)", t, rtt,
+           lambda t: raw / t / 1e12,
+           lambda t: 100 * 6 * raw / t / 1e12 / V5E_BF16_TFLOPS)
 
     # --- DTI masked WLS (normal equations + unrolled Cholesky) ---
     from fibers_tpu.models.dti import _design_dti, _masked_wls
@@ -135,11 +156,11 @@ def main():
         return jax.lax.fori_loop(0, k, body, s0)
 
     t, rtt = _slope(wls, sigs, A_dti, ib0)
-    floors.append(rtt)
     # dominant terms per voxel: A^T W A (nvol*7*7 MACs) + A^T W y
     raw = N * (2 * NVOL * 7 * 7 + 2 * NVOL * 7)
-    rows.append(("DTI masked-WLS solve", raw / t / 1e12,
-                 100 * raw / t / 1e12 / V5E_BF16_TFLOPS))
+    record("DTI masked-WLS solve", t, rtt,
+           lambda t: raw / t / 1e12,
+           lambda t: 100 * raw / t / 1e12 / V5E_BF16_TFLOPS)
 
     # --- DSI rfftn (per 4096-voxel chunk) ---
     B = 4096
@@ -153,11 +174,11 @@ def main():
         return jax.lax.fori_loop(0, k, body, g0)
 
     t, rtt = _slope(dfft, grid)
-    floors.append(rtt)
     n3 = NFFT ** 3
     raw = B * 2.5 * n3 * np.log2(n3)       # ~real-FFT flop count
-    rows.append(("DSI rfftn (4096-voxel chunk)", raw / t / 1e12,
-                 100 * raw / t / 1e12 / V5E_BF16_TFLOPS))
+    record("DSI rfftn (4096-voxel chunk)", t, rtt,
+           lambda t: raw / t / 1e12,
+           lambda t: 100 * raw / t / 1e12 / V5E_BF16_TFLOPS)
 
     # --- fused Pallas TV stencil: bandwidth-bound, report GB/s ---
     from fibers_tpu.ops.pallas.tv_stencil import tv_available, tv_multiplier
@@ -173,11 +194,11 @@ def main():
             return jax.lax.fori_loop(0, k, body, v0)
 
         t, rtt = _slope(tv, v0, lam)
-        floors.append(rtt)
         cells = X * Y * Z * C
         bts = cells * 4 * 3            # center read + x+1 view + write
-        rows.append(("Pallas TV stencil [GB/s]", bts / t / 1e9,
-                     100 * bts / t / 1e9 / V5E_HBM_GBPS))
+        record("Pallas TV stencil [GB/s]", t, rtt,
+               lambda t: bts / t / 1e9,
+               lambda t: 100 * bts / t / 1e9 / V5E_HBM_GBPS)
 
     # --- TV embed/unembed gathers (the other half of the TV term) ---
     NG = 1_474_560                     # bbox-cropped TV grid cells
@@ -192,10 +213,10 @@ def main():
         return jax.lax.fori_loop(0, k, body, f0)
 
     t, rtt = _slope(gath, fodf0, gidx, idxm)
-    floors.append(rtt)
     bts = (N * NCOMP + NG * NCOMP) * 4 * 2
-    rows.append(("TV embed+unembed gather [GB/s]", bts / t / 1e9,
-                 100 * bts / t / 1e9 / V5E_HBM_GBPS))
+    record("TV embed+unembed gather [GB/s]", t, rtt,
+           lambda t: bts / t / 1e9,
+           lambda t: 100 * bts / t / 1e9 / V5E_HBM_GBPS)
 
     rows.append(("dispatch+fetch RTT floor [ms]",
                  1000 * float(np.median(floors)), 0.0))

@@ -155,6 +155,10 @@ void decode_delta6_trk_records(const uint32_t *q, const int64_t *off,
         int32_t m = npts[i];
         memcpy(dst, &m, sizeof(int32_t));
         dst++;
+        if (m == 0)
+            continue;   /* a trailing zero-point line (len_min=0) would
+                         * otherwise seed the reader one word past the
+                         * fetched buffer */
         struct bits6 b = bits6_at(q, j);
         int32_t cx = 0, cy = 0, cz = 0;
         for (int32_t k = 0; k < m; k++) {

@@ -651,6 +651,7 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
         with TrkSink(cfg.trk_sink, tr, len(npts)) as sink:
             for (raw, sraw), (_, sbuf, total, npts_c, anch_k) in zip(
                     fetched(), live):
+                dec, dec_mode = raw, mode
                 if mode in ("i8", "i6") and sraw is None:
                     # fused native path: wire deltas -> trk record bytes
                     # in one pass (no [total, 3] f32 intermediate; i6
@@ -659,12 +660,14 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
                         if sink.append_deltas6(raw, npts_c, anch_k,
                                                qscale):
                             continue
-                        q8 = _unpack6(raw, total * 3)
+                        # no native lib: expand ONCE, reuse for decode
+                        dec, dec_mode = _unpack6(raw, total * 3), "i8"
+                        q8 = dec
                     else:
                         q8 = raw.view(np.int8)
                     if sink.append_deltas(q8, npts_c, anch_k, qscale):
                         continue
-                pts = _decode_points(raw, total, mode, npts=npts_c,
+                pts = _decode_points(dec, total, dec_mode, npts=npts_c,
                                      anchors=anch_k, qscale=qscale)
                 scal = None if sraw is None else \
                     _decode_scalars(sraw, total)[:, None]

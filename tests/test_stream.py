@@ -415,6 +415,22 @@ class TestWireCodec:
         assert back.n_count == tr_mem.n_count
         assert np.allclose(back.packed_xyz, tr_mem.packed_xyz, atol=1e-4)
 
+    def test_i6_sink_zero_point_lines(self, tmp_path):
+        """len_min=0 keeps zero-point lines; the fused i6 decoder must
+        not read past the wire buffer for a trailing empty line (the
+        count word is still written, reference: src/trk.jl:442-482)."""
+        ov, mask, seedm = self._curved_setup()
+        seedall = np.ones(mask.shape, bool)   # seeds outside the mask
+        kw = dict(mask=_mask_mri(ov, mask), seed=_mask_mri(ov, seedall),
+                  nsub=1, len_min=0, len_max=60)
+        tr = ft.stream(ov, wire="i6", **kw)
+        assert (np.asarray(tr.npts) == 0).any()
+        p = str(tmp_path / "zero.trk")
+        ft.stream(ov, wire="i6", trk_sink=p, **kw)
+        back = ft.trk_read(p)
+        assert back.n_count == tr.n_count
+        assert np.array_equal(np.asarray(back.npts), np.asarray(tr.npts))
+
     def test_unpack6_roundtrip_exact(self):
         """_compact's 16->3-word packing and _unpack6 (native + numpy
         fallback) are exact inverses over the full 6-bit range."""
