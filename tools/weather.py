@@ -22,6 +22,25 @@ import numpy as np
 
 
 def main():
+    # Fail fast on a wedged tunnel: backend init itself hangs during an
+    # outage (observed 2026-08-17: >90 min), and a hung probe eats its
+    # caller's whole timeout budget.  Do the liveness check in a
+    # subprocess with a tight deadline — only then pay for the real
+    # probes in this process.
+    import os
+    import subprocess
+    import sys as _sys
+    try:
+        subprocess.run(
+            [_sys.executable, "-c",
+             "import jax.numpy as jnp; "
+             "float((jnp.ones((64,64)) @ jnp.ones((64,64)))[0,0])"],
+            timeout=45, check=True, env=dict(os.environ),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except Exception:
+        print(json.dumps({"clean": False, "why": "tunnel unresponsive"}))
+        sys.exit(1)
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/fibers_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
