@@ -436,7 +436,81 @@ print(f"micro path: {pts_u.shape[0]} integer-voxel jumps along x")
 assert np.ptp(pts_u[:, 0]) > 20
 """),
     md("""
-## 12. Multi-chip fits
+## 12. Terminal display and the FreeSurfer color LUT
+
+`vol_to_rgb` auto-detects what a volume is (segmentation IDs, unit
+vector map, or grayscale) and colors it accordingly; segmentations use
+the bundled FreeSurfer color table (`ft.color_lut`, reference:
+src/show.jl:16-99).  `disp` renders the middle slice as ANSI half-block
+art with optional intensity modulation — handy over ssh.
+"""),
+    code("""
+seg = np.zeros(shape, np.float32)
+seg[wm], seg[gm], seg[csf] = 2, 3, 4     # FreeSurfer aseg label ids
+rgb, kind = ft.vol_to_rgb(seg)
+print("detected:", kind, rgb.shape)
+assert kind == "segmentation"
+for i in (2, 3, 4):
+    j = int(np.searchsorted(ft.color_lut.id, i))
+    print(f"  {i}: {ft.color_lut.name[j]}  rgb={ft.color_lut.rgb[j]}")
+
+# vector maps are detected by unit norm along a size-3 axis
+rgbv, kindv = ft.vol_to_rgb(np.asarray(dti.eigvec1.vol) * mask[..., None])
+assert kindv == "vector"
+print("eigvec map detected as:", kindv)
+"""),
+    code("""
+segm = ft.MRI.like(dwi, 1, np.float32)
+segm.vol = seg[..., None]
+meanm = ft.MRI.like(dwi, 1, np.float32)
+meanm.vol = back.vol.mean(-1, keepdims=True)
+ft.disp(segm, meanm)                     # alpha-blended, b0-modulated
+"""),
+    md("""
+## 13. Registration transforms and tract manipulation
+
+`Xform` mirrors the reference's transform container (read from
+FreeSurfer .lta or FSL .mat files with `ft.xfm_read` /
+`ft.xfm_read_mat`); `xfm_apply`/`xfm_rotate`/`xfm_compose`/`xfm_inv`
+operate on points, and `str_xform` carries a whole tractogram into a
+target volume's space, rewriting its geometry header
+(reference: src/trk.jl:316-347).  `str_add`/`str_merge` edit and
+concatenate tractograms.
+"""),
+    code("""
+from fibers_tpu import Xform, xfm_apply, xfm_inv, xfm_compose
+
+# an upsampling vox2vox transform into a 2x finer grid
+up = Xform()
+up.insize, up.outsize = np.asarray(shape), np.asarray(shape) * 2
+up.inres, up.outres = dwi.volres, dwi.volres / 2
+up.invox2ras = dwi.vox2ras0.copy()
+up.outvox2ras = (dwi.vox2ras0 @ np.diag([0.5, 0.5, 0.5, 1.0])) \\
+    .astype(np.float32)
+up.vox2vox = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
+
+pts = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], np.float32)
+assert np.allclose(xfm_apply(up, pts), pts * 2)
+assert np.allclose(xfm_apply(xfm_compose(xfm_inv(up), up), pts), pts)
+
+tract_up = ft.str_xform(up, tract)
+assert tract_up.n_count == tract.n_count
+assert np.allclose(np.asarray(tract_up.xyz[0]),
+                   np.asarray(tract.xyz[0]) * 2, atol=1e-4)
+print("str_xform: header dims", tract.dim, "->", tract_up.dim,
+      "voxel size", tract_up.voxel_size)
+"""),
+    code("""
+# str_merge concatenates; str_add appends hand-built lines
+both = ft.str_merge(tract, tract_r)
+assert both.n_count == tract.n_count + tract_r.n_count
+line = np.array([[1, 1, 1], [2, 1, 1], [3, 1, 1]], np.float32).T
+ft.str_add(both, [line])
+print(f"merged {tract.n_count} + {tract_r.n_count} (+1 manual) "
+      f"= {both.n_count} streamlines")
+"""),
+    md("""
+## 14. Multi-chip fits
 
 Every fit takes a prepared `VoxelBatch`; preparing it on a
 `jax.sharding.Mesh` makes the same calls data-parallel across every
@@ -461,7 +535,7 @@ else:
     print("single device - mesh demo skipped")
 """),
     md("""
-## 13. Where to go from here
+## 15. Where to go from here
 
 - `ft.st_recon` — structure-tensor orientation for microscopy volumes
   (`lazy=True` keeps the eigenfields on device)
