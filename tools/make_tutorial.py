@@ -535,7 +535,46 @@ else:
     print("single device - mesh demo skipped")
 """),
     md("""
-## 15. Where to go from here
+## 15. Bruker scanner directories
+
+`mri_read` on a directory parses Bruker ParaVision scans: the `method`
+/ `acqp` / `reco` text headers plus the raw `2dseq` image, restoring
+per-frame RECO slope/offset scaling and receiver-gain normalization,
+and reading the diffusion table (with the b=0 image prepended) from the
+method file (reference: src/mri.jl:812-1189).
+"""),
+    code("""
+root = f"{outdir}/bruker_scan"
+os.makedirs(f"{root}/pdata/1", exist_ok=True)
+nx, ny, nz, nfr = 8, 6, 4, 3
+with open(f"{root}/method", "w") as f:
+    f.write("##$PVM_SpatResol=( 3 )\\n0.1 0.1 0.2\\n"
+            f"##$PVM_Matrix=( 3 )\\n{nx} {ny} {nz}\\n"
+            "##$EchoTime=25.0\\n##$PVM_RepetitionTime=500.0\\n"
+            "##$PVM_DwAoImages=1\\n"
+            "##$PVM_DwDir=( 2, 3 )\\n1 0 0 0 1 0\\n"
+            "##$PVM_DwEffBval=( 3 )\\n5 1000 1000\\n")
+with open(f"{root}/acqp", "w") as f:
+    f.write("##$RG=128.0\\n")
+with open(f"{root}/pdata/1/reco", "w") as f:
+    f.write("##$RECO_image_type=MAGNITUDE_IMAGE\\n"
+            "##$RECO_wordtype=_16BIT_SGN_INT\\n"
+            "##$RECO_map_offset=( 3 )\\n0.0 1.0 2.0\\n"
+            "##$RECO_map_slope=( 3 )\\n2.0 4.0 8.0\\n"
+            "##$RECO_byte_order=littleEndian\\n")
+raw = rng.integers(1, 1000, (nx, ny, nz, nfr)).astype("<i2")
+with open(f"{root}/pdata/1/2dseq", "wb") as f:
+    f.write(raw.tobytes(order="F"))
+
+bru = ft.mri_read(root)
+print("Bruker read:", bru.vol.shape, "te/tr:", bru.te, bru.tr)
+print("b-values:", bru.bval, " voxel size:", bru.volres)
+expect = raw / np.array([2.0, 4.0, 8.0]) + np.array([0.0, 1.0, 2.0])
+assert np.allclose(bru.vol, expect / (128.0 / 64.0), rtol=1e-5)
+assert np.allclose(bru.bvec[0], 0)       # prepended b=0 direction
+"""),
+    md("""
+## 16. Where to go from here
 
 - `ft.st_recon` — structure-tensor orientation for microscopy volumes
   (`lazy=True` keeps the eigenfields on device)
