@@ -611,6 +611,7 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
             results[i] = None     # release the raw point buffers
 
     live = [b for b in bufs if b[0] is not None]
+    bufs.clear()        # live now holds the only device-buffer refs
     npts_parts = [n for _, _, _, n, _ in live]
     npts = np.concatenate(npts_parts) if npts_parts else \
         np.zeros(0, np.int32)
@@ -632,16 +633,25 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
         up-front instead: the runtime spins host CPU while ANY device
         op is outstanding, so decode/pack only run at full speed once
         the device is completely drained (the raw wire buffers are
-        hundreds of MB — cheap against host RAM)."""
+        hundreds of MB — cheap against host RAM).  Each chunk's device
+        wire buffer is dropped as soon as its bytes land on the host
+        (the fetch future holds its own reference meanwhile), freeing
+        ~GBs of HBM before the decode phase and leaving no device
+        state behind it."""
         if overlap:
             with ThreadPoolExecutor(1) as pool:
                 futs = [pool.submit(fetch_pair, buf, sbuf, total)
                         for buf, sbuf, total, _n, _a in live]
-                for fut in futs:
-                    yield fut.result()
+                for i, fut in enumerate(futs):
+                    res = fut.result()
+                    live[i] = (None, None) + live[i][2:]
+                    yield res
         else:
-            yield from [fetch_pair(buf, sbuf, total)
-                        for buf, sbuf, total, _n, _a in live]
+            out = []
+            for i, (buf, sbuf, total, _n, _a) in enumerate(live):
+                out.append(fetch_pair(buf, sbuf, total))
+                live[i] = (None, None) + live[i][2:]
+            yield from out
 
     if cfg.trk_sink is not None:
         # Write each chunk's lines to the .trk as it is fetched+decoded;
