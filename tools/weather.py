@@ -30,14 +30,23 @@ def main():
     import os
     import subprocess
     import sys as _sys
+    p = subprocess.Popen(
+        [_sys.executable, "-c",
+         "import jax.numpy as jnp; "
+         "float((jnp.ones((64,64)) @ jnp.ones((64,64)))[0,0])"],
+        env=dict(os.environ),
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True)
     try:
-        subprocess.run(
-            [_sys.executable, "-c",
-             "import jax.numpy as jnp; "
-             "float((jnp.ones((64,64)) @ jnp.ones((64,64)))[0,0])"],
-            timeout=45, check=True, env=dict(os.environ),
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    except Exception:
+        ok = p.wait(timeout=45) == 0
+    except subprocess.TimeoutExpired:
+        # Do NOT wait for the corpse: a tunnel-wedged child can sit in
+        # an unkillable (uninterruptible-syscall) state, and
+        # subprocess.run's post-kill wait then blocks the whole probe
+        # for its caller's full timeout (observed: 600 s).
+        p.kill()
+        ok = False
+    if not ok:
         print(json.dumps({"clean": False, "why": "tunnel unresponsive"}))
         sys.exit(1)
 
