@@ -96,6 +96,18 @@ def _warm_e2e(shape3, nvol, n_pad, sphere, chunk, nvec, wire="i8"):
         _sds((chunk,), np.int32), _sds((chunk,), np.int32),
         _sds((chunk, 3))).compile()
 
+    if emit == "deltas":
+        # compaction cap is the next power of two above the chunk's
+        # total saved points — 2^23/2^24 cover the 1M-seed benchmarks
+        for cap in (1 << 23, 1 << 24):
+            jax.jit(_st._compact.__wrapped__,
+                    static_argnames=("cap", "mode")).lower(
+                _sds((nsteps, chunk, 3), np.int8),
+                _sds((nsteps, chunk, 3), np.int8),
+                _sds((chunk,), np.int32), _sds((chunk,), np.int32),
+                _sds((chunk,), bool), _sds((chunk,), np.int32),
+                cap=cap, mode=wire).compile()
+
 
 def warm_e2e_async(shape3, nvol, n_pad, sphere=None, chunk=1 << 17,
                    nvec=1, wire="i8") -> threading.Thread:
