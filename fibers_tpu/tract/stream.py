@@ -589,6 +589,14 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
     for w0 in range(0, len(starts), wave):
         results = [launch(lo) for lo in starts[w0:w0 + wave]]
 
+        # When profiling, drain the propagation first under its own tag
+        # so the stage table separates device compute from the counts
+        # wire (one extra ~40 ms scalar round trip, profiling only)
+        from ..utils.profiling import prof_enabled
+        if prof_enabled():
+            from ..ops.transfer import sync
+            with prof("stream.propagate_drain"):
+                sync(results[-1][1])
         # One small fetch per wave for counts + anchors (per-call
         # round-trip latency on tunneled links dwarfs these few MB)
         with prof("stream.counts_fetch"):
