@@ -170,6 +170,14 @@ def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False,
     maskm.vol = mask.astype(np.float32)
     nmask = int(mask.sum())
 
+    if chain_stream:
+        # compile the chained tract stage (5 RUMBA peak vecs, i6 wire)
+        # in the background while the fit runs
+        from fibers_tpu.ops.masked import padded_size
+        from fibers_tpu.utils.warmup import warm_stream_async
+        warm_stream_async(shape, padded_size(nmask), nvec=5,
+                          chunk=1 << 17, wire="i6")
+
     t0 = time.time()
     rum = ft.rumba_rec(dwi, maskm, ft.sphere_724, niter=niter,
                        tv_bf16=tv_bf16, abort_s_per_iter=abort_pace)

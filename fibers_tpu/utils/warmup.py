@@ -20,7 +20,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["warm_e2e_async", "warm_rumba_async"]
+__all__ = ["warm_e2e_async", "warm_rumba_async", "warm_stream_async"]
 
 
 def _sds(shape, dtype=np.float32):
@@ -75,7 +75,17 @@ def _warm_e2e(shape3, nvol, n_pad, sphere, chunk, nvec, wire="i8"):
             _sds(nbr.shape, nbr.dtype), _sds(nbr_ok.shape, nbr_ok.dtype),
             npeak=3).compile()
 
-    # device ovec build + stream propagation for the standard chunk
+    _warm_stream(shape3, n_pad, nvec, chunk, wire)
+
+
+def _warm_stream(shape3, n_pad, nvec, chunk, wire="i8"):
+    """Compile the tractography shape bucket: device ovec build,
+    propagation, meta pack, and the point-compaction caps."""
+    import jax
+
+    from ..tract import stream as _st
+
+    n3 = int(np.prod(shape3))
     jax.jit(_st._build_ovec_device.__wrapped__,
             static_argnames=("nxyz",)).lower(
         _sds((n_pad, nvec, 3)), _sds((n_pad, nvec)),
@@ -107,6 +117,25 @@ def _warm_e2e(shape3, nvol, n_pad, sphere, chunk, nvec, wire="i8"):
                 _sds((chunk,), np.int32), _sds((chunk,), np.int32),
                 _sds((chunk,), bool), _sds((chunk,), np.int32),
                 cap=cap, mode=wire).compile()
+
+
+def warm_stream_async(shape3, n_pad, nvec, chunk=1 << 17,
+                      wire="i8") -> threading.Thread:
+    """Start compiling just the tractography bucket in the background
+    (the chained fit->tract benchmarks warm the stream shapes while the
+    fit runs)."""
+    def run():
+        try:
+            _warm_stream(tuple(shape3), int(n_pad), int(nvec),
+                         int(chunk), wire)
+        except Exception as e:          # pragma: no cover
+            import sys
+            sys.stderr.write(f"fibers_tpu.warmup: best-effort warm-up "
+                             f"failed: {e!r}\n")
+
+    t = threading.Thread(target=run, daemon=True, name="fibers-warmup-s")
+    t.start()
+    return t
 
 
 def warm_e2e_async(shape3, nvol, n_pad, sphere=None, chunk=1 << 17,
