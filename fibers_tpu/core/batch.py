@@ -8,7 +8,6 @@ one host gather and one host->device upload instead of repeating them.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

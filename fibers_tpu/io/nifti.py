@@ -14,7 +14,6 @@ import sys
 
 import gzip
 import io as _io
-import os
 
 import numpy as np
 

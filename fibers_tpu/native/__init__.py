@@ -13,7 +13,6 @@ import ctypes
 import hashlib
 import os
 import subprocess
-import sys
 import threading
 
 _SRC = os.path.join(os.path.dirname(__file__), "packio.c")

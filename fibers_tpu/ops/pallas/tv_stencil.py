@@ -25,7 +25,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["tv_multiplier", "tv_available", "TV_VMEM_BUDGET",
            "TV_LIVE_BUFFERS"]
