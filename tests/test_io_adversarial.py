@@ -35,6 +35,75 @@ def _write_nii(path, rec, data, bo="<"):
         f.write(data.astype(bo + data.dtype.str[1:]).tobytes(order="F"))
 
 
+class TestNIfTIFuzz:
+    """Property-based sweep: random dtype x endianness x scl x form
+    combinations, each written at the byte level; the reader must
+    reproduce the independently computed values and geometry for all
+    of them (reference tolerance logic: src/mri.jl:1394-1669)."""
+
+    # (datatype code, numpy dtype)
+    DTYPES = [(2, np.uint8), (4, np.int16), (8, np.int32),
+              (16, np.float32), (64, np.float64), (512, np.uint16)]
+
+    def test_random_header_roundtrips(self, tmp_path):
+        rng = np.random.default_rng(42)
+        for case in range(24):
+            code, dt = self.DTYPES[case % len(self.DTYPES)]
+            bo = "<" if case % 2 == 0 else ">"
+            use_scl = case % 3 == 0
+            use_sform = case % 4 < 2
+            shape = tuple(int(s) for s in rng.integers(3, 9, 3))
+            nframes = int(rng.integers(1, 4))
+            if np.issubdtype(dt, np.integer):
+                raw = rng.integers(0, 200, shape + (nframes,)).astype(dt)
+            else:
+                raw = (rng.random(shape + (nframes,)) * 100).astype(dt)
+
+            rec = _blank_hdr(bo)
+            rec["dim"] = [4, *shape, nframes, 1, 1, 1]
+            rec["datatype"] = code
+            rec["bitpix"] = raw.dtype.itemsize * 8
+            vsz = rng.uniform(0.5, 3.0, 3)
+            rec["pixdim"] = [1.0, *vsz, 0, 0, 0, 0]
+            slope, inter = (1.0, 0.0)
+            if use_scl:
+                slope, inter = 2.0, 5.0
+                rec["scl_slope"] = slope
+                rec["scl_inter"] = inter
+            if use_sform:
+                rec["sform_code"] = 1
+                rec["srow_x"] = [vsz[0], 0, 0, -10.0]
+                rec["srow_y"] = [0, vsz[1], 0, 20.0]
+                rec["srow_z"] = [0, 0, vsz[2], -5.0]
+            else:
+                rec["qform_code"] = 1
+                rec["quatern_b"] = 0.0      # identity rotation
+                rec["quatern_c"] = 0.0
+                rec["quatern_d"] = 0.0
+                rec["quatern_x"] = -10.0
+                rec["quatern_y"] = 20.0
+                rec["quatern_z"] = -5.0
+
+            p = str(tmp_path / f"f{case}.nii")
+            _write_nii(p, rec, raw, bo=bo)
+            mri = ft.mri_read(p)
+
+            got = np.asarray(mri.vol)
+            scaled = raw.astype(np.float64) * slope + inter
+            if use_scl and np.issubdtype(dt, np.integer):
+                # rescale preserves the on-disk numeric class
+                want = np.rint(scaled).astype(dt)
+                np.testing.assert_array_equal(got, want, err_msg=str(case))
+            else:
+                np.testing.assert_allclose(got, scaled, rtol=1e-6,
+                                           err_msg=str(case))
+            assert got.shape == shape + (nframes,), case
+            np.testing.assert_allclose(mri.volres, vsz, rtol=1e-5)
+            # vox2ras translation column survives either form
+            np.testing.assert_allclose(
+                mri.vox2ras0[:3, 3], [-10.0, 20.0, -5.0], atol=1e-4)
+
+
 class TestForeignNIfTI:
     def _vol(self, rng, shape=(7, 6, 5)):
         return (rng.random(shape) * 100).astype(np.float32)
