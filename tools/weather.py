@@ -24,12 +24,24 @@ import numpy as np
 def main():
     # Fail fast on a wedged tunnel: backend init itself hangs during an
     # outage (observed 2026-08-17: >90 min), and a hung probe eats its
-    # caller's whole timeout budget.  Do the liveness check in a
-    # subprocess with a tight deadline — only then pay for the real
-    # probes in this process.
+    # caller's whole timeout budget.  Cheapest first: if the relay
+    # process is dead its forwarded port refuses outright (3 s); then a
+    # tiny-matmul liveness check in a subprocess with a tight deadline —
+    # only then pay for the real probes in this process.
     import os
+    import socket
     import subprocess
     import sys as _sys
+
+    s = socket.socket()
+    s.settimeout(3)
+    try:
+        s.connect(("127.0.0.1", 8082))
+        s.close()
+    except OSError:
+        print(json.dumps({"clean": False, "why": "tunnel relay dead "
+                          "(port 8082 refused)"}))
+        sys.exit(1)
     p = subprocess.Popen(
         [_sys.executable, "-c",
          "import jax.numpy as jnp; "
