@@ -14,8 +14,61 @@ import time
 
 import numpy as np
 
+
+def _preflight():
+    """Fail fast on a dead/wedged tunnel BEFORE any jax backend init.
+
+    During a relay outage (observed 2026-08-17, hours-long) backend init
+    hangs unkillably — even under JAX_PLATFORMS=cpu, because the axon
+    plugin's sitecustomize initializes regardless.  A dead tunnel must be
+    a <60 s nonzero exit with a one-line diagnosis, not a silent burn of
+    the driver's whole timeout.  Probe order: 3 s TCP connect to the
+    relay's forwarded port, then a tiny-matmul liveness check in a
+    subprocess with a hard deadline (a wedged-but-listening tunnel hangs
+    there instead of here).
+    """
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    axon_on_path = ".axon_site" in os.environ.get("PYTHONPATH", "")
+    if "cpu" in plats and not axon_on_path:
+        return  # pure-CPU run, no tunnel involved
+    import socket
+    import subprocess
+
+    s = socket.socket()
+    s.settimeout(3)
+    try:
+        s.connect(("127.0.0.1", 8082))
+        s.close()
+    except OSError:
+        sys.stderr.write("bench.py preflight: tunnel relay DEAD "
+                         "(port 8082 refused) — not a framework failure; "
+                         "only the external driver can restore the relay\n")
+        sys.exit(2)
+    p = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax.numpy as jnp; "
+         "float((jnp.ones((64,64)) @ jnp.ones((64,64)))[0,0])"],
+        env=dict(os.environ),
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True)
+    try:
+        ok = p.wait(timeout=45) == 0
+    except subprocess.TimeoutExpired:
+        # Do NOT wait for the corpse: a tunnel-wedged child can sit in an
+        # unkillable uninterruptible-syscall state and block the caller.
+        p.kill()
+        ok = False
+    if not ok:
+        sys.stderr.write("bench.py preflight: tunnel relay listening but "
+                         "UNRESPONSIVE (45 s tiny-matmul deadline) — "
+                         "not a framework failure\n")
+        sys.exit(2)
+
+
+_preflight()
+
 # Persistent compilation cache: compile once per shape bucket across runs
-import jax
+import jax  # noqa: E402  (deliberately after the preflight)
 
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("FIBERS_JAX_CACHE", "/tmp/fibers_jax_cache"))
