@@ -17,8 +17,9 @@ def load(base: str, **expect):
     """Return (vol_memmap, meta dict) for cache `base`, or None.
 
     `expect`: arrays that must match the stored meta exactly (e.g.
-    bval=..., bvec=...); a mismatch or unreadable file invalidates the
-    cache (both files are deleted)."""
+    bval=..., bvec=...).  A mismatch returns None and leaves the files
+    in place for the caller's subsequent save() to overwrite; an
+    unreadable/corrupt file deletes both files."""
     volp, metap = base + "_vol.npy", base + "_meta.npz"
     if not (os.path.exists(volp) and os.path.exists(metap)):
         return None

@@ -40,7 +40,7 @@ class VoxelBatch:
         return None
 
 
-def _resolve_wire(flat: np.ndarray, wire: str):
+def _resolve_wire(flat: np.ndarray, wire: str, idx: np.ndarray = None):
     """Pick the host->device wire encoding for a gathered signal matrix.
 
     Returns (quantize: str | None, scale: float) with quantize one of
@@ -52,6 +52,11 @@ def _resolve_wire(flat: np.ndarray, wire: str):
     (BASELINE.md: the 566 MB float32 upload dominates the fit stage).
     "auto8" is "auto" with the uint8 wire — half the bytes again, for
     scale-invariant consumers only (DSI).
+
+    With `idx` (the masked flat row indices) the quantization range is
+    computed over the MASKED rows only: a bright artifact outside the
+    mask (skull, coil flare) must not inflate the scale and spend wire
+    precision on voxels no fit ever reads.
     """
     import jax
 
@@ -64,9 +69,17 @@ def _resolve_wire(flat: np.ndarray, wire: str):
         return None, 0.0
     if wire in ("auto", "auto8") and jax.default_backend() == "cpu":
         return None, 0.0
-    # cheap host scan: max is memory-bound, ~0.1 s for the HCP volume
-    vmax = float(flat.max())
-    vmin = float(flat.min())
+    # cheap host scan, memory-bound (~0.1-0.3 s at HCP scale); chunked
+    # over the mask indices so no [Nmask, nvol] temporary materializes
+    if idx is not None and len(idx):
+        vmax, vmin = -np.inf, np.inf
+        for lo in range(0, len(idx), 1 << 16):
+            part = flat[idx[lo:lo + (1 << 16)]]
+            vmax = max(vmax, float(part.max()))
+            vmin = min(vmin, float(part.min()))
+    else:
+        vmax = float(flat.max())
+        vmin = float(flat.min())
     if wire in ("u16", "u8"):
         scale_fn = quant_u16_scale if wire == "u16" else quant_u8_scale
         scale = scale_fn(vmax, 0.0)          # negatives clip to 0
@@ -178,7 +191,7 @@ def prepare_batch(dwi, mask, mesh=None, wire: str = "auto") -> VoxelBatch:
         vol = vol[..., None]
     flat = vol.reshape(-1, vol.shape[3])
     nvol = flat.shape[1]
-    quantize, scale = _resolve_wire(flat, wire)
+    quantize, scale = _resolve_wire(flat, wire, idx)
 
     if mesh is not None:
         with prof("batch.gather"):

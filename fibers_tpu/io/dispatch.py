@@ -24,13 +24,27 @@ from .nifti import NIFTI_CODES, load_nifti, save_nifti
 __all__ = ["mri_read", "mri_write", "mri_read_struct", "mri_write_struct"]
 
 
-def mri_read(infile: str, headeronly: bool = False, permutedata: bool = False,
+def mri_read(infile: str, result_type: type = None,
+             headeronly: bool = False, permutedata: bool = False,
              reco: int = 1) -> MRI:
     """Read an image volume (.mgh/.mgz, .nii/.nii.gz, file stem, or Bruker
     scan directory) into an `MRI` structure.
 
-    (reference: src/mri.jl:611-733)
+    With a result-struct dataclass as the second argument —
+    `mri_read(inbase, RUMBASD)` — reads the set of `<inbase>_<field>`
+    files written by the `*_write` functions back into that struct,
+    exactly like the reference's generic loader (the tutorial resumes a
+    precomputed RUMBA fit this way).
+
+    (reference: src/mri.jl:611-733 and src/mri.jl:2276-2311)
     """
+    if result_type is not None:
+        if not isinstance(result_type, type):
+            raise TypeError(
+                "mri_read's second argument must be a result-struct type "
+                f"(e.g. RUMBASD), got {result_type!r}")
+        return mri_read_struct(infile, result_type, headeronly=headeronly,
+                               permutedata=permutedata)
     if os.path.isdir(infile):
         from .bruker import load_bruker
         mri = load_bruker(infile, headeronly=headeronly, reco=reco)

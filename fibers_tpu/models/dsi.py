@@ -179,7 +179,8 @@ def _dsi_kernel(signals, iq_half, hann, iq_flat, wmat_aug, verts_first,
 
 def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             hann_width: int = 32, chunk: int = 4096,
-            mem_budget: float = 4e9, batch=None, mesh=None) -> DSI:
+            mem_budget: float = 4e9, batch=None, mesh=None,
+            wire: str = "auto8") -> DSI:
     """DSI reconstruction of DWIs.  (reference: src/dsi.jl:171-270)
 
     The per-chunk working set is dominated by the [chunk, nfft^3] q-space
@@ -192,6 +193,10 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     data-parallel over the mesh's "data" axis (inferred automatically
     from a mesh-sharded `batch`); the memory budget and chunk size then
     scale by the data-axis size, since the q-space grid is sharded too.
+    `wire`: host->device encoding when dsi_rec builds the batch itself —
+    default "auto8" (uint8, exact for DSI's normalized outputs up to
+    ~1.5e-3 ODF error); pass "f32" for a bit-exact upload, or "u16"/
+    "auto" for the 16-bit wire.  Ignored when `batch` is supplied.
     """
     if dwi.bval is None or len(dwi.bval) == 0:
         raise ValueError("Missing b-value table from input DWI structure")
@@ -232,10 +237,12 @@ def dsi_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     # is exactly scale-invariant — both the ODF and the PDF are divided
     # by the PDF sum, so the global quantization scale cancels (measured:
     # peak directions unchanged, ODF relative error ~1.5e-3 at 8 bits).
+    # `wire` overrides the policy: pass "f32" for an exact upload
+    # without constructing a batch manually ("u16"/"auto" also accepted).
     # On CPU the host slices feed chunks directly (no wire to hide).
     if batch is None and jax.default_backend() != "cpu":
         from ..core.batch import prepare_batch
-        batch = prepare_batch(dwi, mask, mesh=mesh, wire="auto8")
+        batch = prepare_batch(dwi, mask, mesh=mesh, wire=wire)
         if mesh is None:
             mesh = batch.mesh
 

@@ -552,6 +552,7 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
               use_tv: bool = True, verbose: bool = False,
               checkpoint_path: str = None,
               checkpoint_every: int = 0,
+              on_mismatch: str = "raise",
               precision: str = "high", batch=None, mesh=None,
               tv_bf16: bool = False,
               abort_s_per_iter: float = None) -> RUMBASD:
@@ -562,6 +563,13 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     the newest checkpoint when restarted — the long-iterative-fit analogue
     of the reference's field-per-file resume convention (the reference has
     no in-loop checkpointing; its 600-iteration fits restart from scratch).
+    A checkpoint whose problem identity (voxel count, component count,
+    iteration vs niter) does not match this fit raises `ValueError` by
+    default — silently discarding an hour-scale fit's progress is worse
+    than making the caller look.  Pass `on_mismatch="fresh"` for
+    unattended runs that should warn and start from scratch instead.
+    (This raise is a deliberate behavior change from pre-round-4
+    releases, which warned and restarted.)
 
     `precision`: MXU precision of the R-L GEMMs — "high" (default,
     3-pass bf16 ~ float32 quality), "highest" (true f32), or "default"
@@ -717,64 +725,81 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     idx_j = jnp.asarray(idx_tv)
 
     # Resume from checkpoint if present
+    if on_mismatch not in ("raise", "fresh"):
+        raise ValueError(f"on_mismatch must be 'raise' or 'fresh', "
+                         f"got {on_mismatch!r}")
     it_start = 0
     if checkpoint_path is not None and os.path.isfile(checkpoint_path):
-        with np.load(checkpoint_path) as ck:
-            # match on the problem identity (voxels, components); `niter`
-            # may differ — resuming into a longer run is the point.  A
-            # true identity mismatch raises: silently discarding an
-            # hour-scale fit's progress is worse than making the caller
-            # delete a stale file.
-            if (int(ck["nmask"]) != nmask or int(ck["ncomp"]) != ncomp
-                    or int(ck["iteration"]) > niter):
-                raise ValueError(
-                    f"checkpoint {checkpoint_path} does not match this "
-                    f"problem (checkpoint nmask={int(ck['nmask'])} "
-                    f"ncomp={int(ck['ncomp'])} "
-                    f"iteration={int(ck['iteration'])}; expected "
-                    f"nmask={nmask} ncomp={ncomp} niter>="
-                    f"{int(ck['iteration'])}).  Delete the file to start "
-                    "fresh.")
-            # Layout differences are remapped, not discarded: fodf row
-            # padding depends on batch/mesh (real rows are the first
-            # nmask), and pre-v2 checkpoints stored lam_flat on the full
-            # volume instead of the TV crop.
-            fodf_h = np.asarray(ck["fodf"])[:nmask]
-            sig2_h = np.asarray(ck["sig2"])[:nmask]
-            if fodf_h.shape[0] < nmask:
-                raise ValueError(
-                    f"checkpoint {checkpoint_path} has fewer rows "
-                    f"({fodf_h.shape[0]}) than masked voxels ({nmask})")
-            pad = n_rows - nmask
-            if pad:
-                fodf_h = np.pad(fodf_h, ((0, pad), (0, 0)))
-                sig2_h = np.concatenate(
-                    [sig2_h, np.full((pad, 1), lam0, np.float32)])
-            lam_h = np.asarray(ck["lam_flat"]).reshape(-1)
-            if lam_h.size != tv_nxyz:
-                if lam_h.size == int(np.prod(shape3)):
-                    # legacy full-volume grid: slice the crop bbox out
-                    sl = tuple(slice(l, l + s)
-                               for l, s in zip(tv_lo, tv_shape3))
-                    lam_h = lam_h.reshape(shape3)[sl].reshape(-1)
-                elif np.ptp(lam_h) == 0:
-                    # spatially constant (the ipat_factor==1 update)
-                    lam_h = np.full(tv_nxyz, lam_h.flat[0], np.float32)
-                else:
+        try:
+            with np.load(checkpoint_path) as ck:
+                # match on the problem identity (voxels, components);
+                # `niter` may differ — resuming into a longer run is the
+                # point.  A true identity mismatch raises (default;
+                # on_mismatch="fresh" warns and restarts): silently
+                # discarding an hour-scale fit's progress is worse than
+                # making the caller delete a stale file.
+                if (int(ck["nmask"]) != nmask or int(ck["ncomp"]) != ncomp
+                        or int(ck["iteration"]) > niter):
                     raise ValueError(
-                        f"checkpoint {checkpoint_path} lam_flat size "
-                        f"{lam_h.size} matches neither the TV crop "
-                        f"({tv_nxyz}) nor the full volume "
-                        f"({int(np.prod(shape3))})")
-            fodf = place(jnp.asarray(fodf_h))
-            sig2 = place(jnp.asarray(sig2_h))
-            lam_flat = jnp.asarray(lam_h.astype(np.float32))
-            dodf = jnp.dot(fodf, kernel_j.T,
-                           precision=jax.lax.Precision.HIGHEST)
-            dodf_sig = (signal_j * dodf) / sig2
-            it_start = int(ck["iteration"])
-            print(f"Resuming RUMBA-SD from iteration {it_start} "
-                  f"({checkpoint_path})")
+                        f"checkpoint {checkpoint_path} does not match "
+                        f"this problem (checkpoint "
+                        f"nmask={int(ck['nmask'])} "
+                        f"ncomp={int(ck['ncomp'])} "
+                        f"iteration={int(ck['iteration'])}; expected "
+                        f"nmask={nmask} ncomp={ncomp} niter>="
+                        f"{int(ck['iteration'])}).  Delete the file to "
+                        "start fresh.")
+                # Layout differences are remapped, not discarded: fodf
+                # row padding depends on batch/mesh (real rows are the
+                # first nmask), and pre-v2 checkpoints stored lam_flat on
+                # the full volume instead of the TV crop.
+                fodf_h = np.asarray(ck["fodf"])[:nmask]
+                sig2_h = np.asarray(ck["sig2"])[:nmask]
+                if fodf_h.shape[0] < nmask:
+                    raise ValueError(
+                        f"checkpoint {checkpoint_path} has fewer rows "
+                        f"({fodf_h.shape[0]}) than masked voxels "
+                        f"({nmask})")
+                pad = n_rows - nmask
+                if pad:
+                    fodf_h = np.pad(fodf_h, ((0, pad), (0, 0)))
+                    sig2_h = np.concatenate(
+                        [sig2_h, np.full((pad, 1), lam0, np.float32)])
+                lam_h = np.asarray(ck["lam_flat"]).reshape(-1)
+                if lam_h.size != tv_nxyz:
+                    if lam_h.size == int(np.prod(shape3)):
+                        # legacy full-volume grid: slice the crop bbox
+                        sl = tuple(slice(l, l + s)
+                                   for l, s in zip(tv_lo, tv_shape3))
+                        lam_h = lam_h.reshape(shape3)[sl].reshape(-1)
+                    elif np.ptp(lam_h) == 0:
+                        # spatially constant (the ipat_factor==1 update)
+                        lam_h = np.full(tv_nxyz, lam_h.flat[0],
+                                        np.float32)
+                    else:
+                        raise ValueError(
+                            f"checkpoint {checkpoint_path} lam_flat "
+                            f"size {lam_h.size} matches neither the TV "
+                            f"crop ({tv_nxyz}) nor the full volume "
+                            f"({int(np.prod(shape3))})")
+                fodf = place(jnp.asarray(fodf_h))
+                sig2 = place(jnp.asarray(sig2_h))
+                lam_flat = jnp.asarray(lam_h.astype(np.float32))
+                dodf = jnp.dot(fodf, kernel_j.T,
+                               precision=jax.lax.Precision.HIGHEST)
+                dodf_sig = (signal_j * dodf) / sig2
+                it_start = int(ck["iteration"])
+                print(f"Resuming RUMBA-SD from iteration {it_start} "
+                      f"({checkpoint_path})")
+        except ValueError:
+            if on_mismatch == "raise":
+                raise
+            import warnings
+            warnings.warn(
+                f"checkpoint {checkpoint_path} does not match this "
+                "problem; starting fresh (on_mismatch='fresh')",
+                stacklevel=2)
+            it_start = 0
 
     # Iterate in fori_loop blocks of up to _BLOCK_ITERS per dispatch
     # (verbose mode steps singly to print per-iteration SNR like the

@@ -9,6 +9,7 @@ unaffected (~1 GB/s) and uses plain device_put.
 
 from __future__ import annotations
 
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
@@ -103,31 +104,36 @@ _HEDGE_POOL_SIZE = 4
 _MAX_HEDGE_POOLS = 4
 _hedge_inflight = []
 _hedge_pools_made = 0
+# hedges are rare (one per stalled chunk), so this lock is uncontended;
+# it exists so concurrent to_device_rows/to_host callers can't race on
+# the pool-replacement bookkeeping and double-replace a wedged pool
+_hedge_lock = threading.Lock()
 
 
 def _hedge_submit(fn, *args):
     global _hedge_pool, _hedge_pools_made
     import sys
 
-    _hedge_inflight[:] = [f for f in _hedge_inflight if not f.done()]
-    if _hedge_pool is None:
-        _hedge_pool = ThreadPoolExecutor(_HEDGE_POOL_SIZE)
-        _hedge_pools_made = 1
-    elif len(_hedge_inflight) >= _HEDGE_POOL_SIZE:
-        if _hedge_pools_made < _MAX_HEDGE_POOLS:
-            sys.stderr.write(
-                "fibers_tpu.transfer: all hedge threads wedged on stalled "
-                "RPCs; starting a fresh hedge pool\n")
+    with _hedge_lock:
+        _hedge_inflight[:] = [f for f in _hedge_inflight if not f.done()]
+        if _hedge_pool is None:
             _hedge_pool = ThreadPoolExecutor(_HEDGE_POOL_SIZE)
-            _hedge_pools_made += 1
-            _hedge_inflight.clear()
-        else:
-            sys.stderr.write(
-                "fibers_tpu.transfer: hedge pool exhausted "
-                f"({_MAX_HEDGE_POOLS} pools wedged); hedging degrades to "
-                "a plain wait\n")
-    fut = _hedge_pool.submit(fn, *args)
-    _hedge_inflight.append(fut)
+            _hedge_pools_made = 1
+        elif len(_hedge_inflight) >= _HEDGE_POOL_SIZE:
+            if _hedge_pools_made < _MAX_HEDGE_POOLS:
+                sys.stderr.write(
+                    "fibers_tpu.transfer: all hedge threads wedged on "
+                    "stalled RPCs; starting a fresh hedge pool\n")
+                _hedge_pool = ThreadPoolExecutor(_HEDGE_POOL_SIZE)
+                _hedge_pools_made += 1
+                _hedge_inflight.clear()
+            else:
+                sys.stderr.write(
+                    "fibers_tpu.transfer: hedge pool exhausted "
+                    f"({_MAX_HEDGE_POOLS} pools wedged); hedging degrades "
+                    "to a plain wait\n")
+        fut = _hedge_pool.submit(fn, *args)
+        _hedge_inflight.append(fut)
     return fut
 
 

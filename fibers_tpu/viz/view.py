@@ -73,7 +73,7 @@ def view(mri: MRI, plane: str = "a", title: Optional[str] = None,
         fig.canvas.draw_idle()
 
     def on_key(event):
-        if event.key in ("up", "right") and event.key == "up":
+        if event.key == "up":
             state["z"] = min(nz - 1, state["z"] + 1)
         elif event.key == "down":
             state["z"] = max(0, state["z"] - 1)

@@ -384,6 +384,17 @@ class TestStructConvention:
         assert np.allclose(back.peak[1].vol, peaks[1].vol)
         assert back.snr == 12.5
 
+        # the reference's exact spelling: the two-arg mri_read dispatch
+        # (reference: src/mri.jl:2276-2311, used by the tutorial as
+        # mri_read(indir*"/rumba100", RUMBASD))
+        back2 = ft.mri_read(base, Demo)
+        assert np.allclose(back2.a.vol, ref.vol)
+        assert back2.snr == 12.5
+
+    def test_two_arg_mri_read_rejects_non_type(self, tmp_path):
+        with pytest.raises(TypeError, match="result-struct type"):
+            ft.mri_read(str(tmp_path / "x"), 42)
+
 
 class TestGeometry:
     def test_vox2ras_0to1(self):

@@ -164,6 +164,26 @@ class TestCheckpoint:
             ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4,
                          checkpoint_path=ck)
 
+    def test_mismatched_checkpoint_fresh_restarts(self, tmp_path):
+        """on_mismatch='fresh' (for unattended runs) warns and starts
+        from scratch instead of raising."""
+        import numpy as np
+        import pytest
+        from phantom import make_phantom
+        dwi, mask, _, _ = make_phantom(shape=(3, 3, 3), ndir=30)
+        ck = str(tmp_path / "bad.npz")
+        np.savez(ck, fodf=np.zeros((5, 5)), sig2=np.zeros((5, 1)),
+                 lam_flat=np.zeros(27), iteration=3, nmask=5, ncomp=5,
+                 niter=4)
+        fresh = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4)
+        with pytest.warns(UserWarning, match="starting fresh"):
+            rec = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4,
+                               checkpoint_path=ck, on_mismatch="fresh")
+        assert np.abs(rec.fodf.vol - fresh.fodf.vol).max() < 1e-6
+        with pytest.raises(ValueError, match="on_mismatch"):
+            ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4,
+                         checkpoint_path=ck, on_mismatch="retry")
+
     def test_legacy_fullvolume_lam_remapped(self, tmp_path):
         """Pre-v2 checkpoints stored lam_flat on the full volume; resume
         remaps it onto the TV crop instead of discarding progress."""

@@ -173,6 +173,29 @@ class TestQuantizedBatchWire:
         np.testing.assert_array_equal(np.asarray(b_auto.signals),
                                       np.asarray(b_f32.signals))
 
+    def test_wire_scale_ignores_out_of_mask_artifacts(self):
+        """The quantization range comes from the MASKED rows only: a
+        bright artifact outside the mask (skull, coil flare) must not
+        inflate the scale and waste in-mask wire precision."""
+        from phantom import make_phantom
+        import fibers_tpu as ft
+        from fibers_tpu.core.batch import _resolve_wire
+
+        dwi, mask, _, _ = make_phantom(shape=(8, 8, 6), ndir=12)
+        vol = np.asarray(dwi.vol).copy()
+        mv = np.asarray(mask.vol).copy()
+        mv[0, 0, 0] = 0                       # exclude one corner voxel
+        vol[0, 0, 0, :] = 1e6                 # ... and make it blinding
+        flat = vol.reshape(-1, vol.shape[3])
+        idx = np.flatnonzero(mv.reshape(-1) > 0)
+        q, scale = _resolve_wire(flat, "u16", idx)
+        assert q == "u16"
+        in_mask_max = flat[idx].max()
+        assert scale <= in_mask_max / 65535.0 * 1.001
+        # whole-volume fallback (no idx) sees the artifact
+        _, scale_full = _resolve_wire(flat, "u16")
+        assert scale_full > 10 * scale
+
     def test_u16_rejects_unquantizable(self):
         import pytest
         from phantom import make_phantom
