@@ -218,6 +218,39 @@ def main():
            lambda t: bts / t / 1e9,
            lambda t: 100 * bts / t / 1e9 / V5E_HBM_GBPS)
 
+    # --- fully fused TV (embed+stencil+unembed in one Pallas pass) ---
+    from fibers_tpu.ops.pallas.tv_fused import (build_tables,
+                                                fused_probe_ok, tv_fused)
+    if tv_available() and fused_probe_ok():
+        X, Y, Z = 128, 130, 90
+        yz = Y * Z
+        Cp = ((NCOMP + 127) // 128) * 128
+        idx_tv = np.sort(rng.choice(X * yz, N, replace=False))
+        tabs = build_tables(idx_tv, (X, Y, Z), N)
+        rowsf = jnp.full((N, Cp), 0.7, jnp.float32)
+        buf0 = jnp.ones((N + yz, Cp), jnp.float32)
+        lam3 = jnp.full((X, Y, Z), 0.004, jnp.float32)
+
+        @partial(jax.jit, static_argnames=("k",))
+        def tvf(rowsf, buf, k):
+            def body(i, b):
+                return tv_fused(rowsf, b, lam3, tabs.lo, tabs.starts,
+                                tabs.gl, tabs.inmask, tabs.cellidx,
+                                (X, Y, Z))
+            return jax.lax.fori_loop(0, k, body, buf)
+
+        t, rtt = _slope(tvf, rowsf, buf0)
+        # effective traffic of the WORK REPLACED per step: the unfused
+        # path's pad copy + embed gather + stencil views + unembed —
+        # reported against actual bytes moved (window DMAs + compacted
+        # writes + index blocks) for the % column
+        bts = (X * yz * Cp            # input row-window DMAs
+               + (N + yz) * Cp        # compacted output writes
+               ) * 4 + 3 * X * yz * 4 * (Cp // 128)
+        record("fused TV embed+stencil+unembed [GB/s]", t, rtt,
+               lambda t: bts / t / 1e9,
+               lambda t: 100 * bts / t / 1e9 / V5E_HBM_GBPS)
+
     rows.append(("dispatch+fetch RTT floor [ms]",
                  1000 * float(np.median(floors)), 0.0))
 

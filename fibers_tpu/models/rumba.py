@@ -342,10 +342,16 @@ def _gather_index(idx_mask, n, nxyz):
 
 def _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
                      idx_mask, gidx, n_order, ipat_factor, use_tv, shape3,
-                     nxyz, precision="high", mesh=None, tv_bf16=False):
+                     nxyz, precision="high", mesh=None, tv_bf16=False,
+                     tv_buf=None, fused_tabs=None, fused_interpret=False):
     """One RUMBA-SD iteration over the voxel batch (traceable body shared
     by the single-step and fori_loop-block entry points).
-    (reference: src/rusd.jl:266-339)"""
+    (reference: src/rusd.jl:266-339)
+
+    With `fused_tabs`/`tv_buf` set (single-device TPU), the TV term runs
+    through the fully fused embed+stencil+unembed Pallas kernel
+    (ops.pallas.tv_fused) — fodf then carries component padding to a
+    lane multiple, and tv_buf is the donated multiplier row buffer."""
     eps = 1e-7
     hp = _PRECISIONS[precision]
 
@@ -355,7 +361,14 @@ def _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
     rl_den = jnp.dot(dodf, kernel, precision=hp) + eps
     rl = rl_num / rl_den
 
-    if use_tv:
+    if use_tv and fused_tabs is not None:
+        from ..ops.pallas.tv_fused import tv_fused
+        lo, starts, gl, inm, cell = fused_tabs
+        tv_buf = tv_fused(fodf, tv_buf, lam_flat.reshape(shape3),
+                          lo, starts, gl, inm, cell, shape3,
+                          interpret=fused_interpret)
+        tv = tv_buf[:fodf.shape[0]]
+    elif use_tv:
         tv = _tv_term(fodf, gidx, idx_mask, lam_flat, shape3, nxyz,
                       mesh=mesh, tv_bf16=tv_bf16)
     else:
@@ -385,42 +398,58 @@ def _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
                 sig2[:nmask, 0])
 
     snr = 1.0 / jnp.sqrt(sig2)
-    return fodf, dodf, dodf_sig, sig2, lam_flat, snr
+    if tv_buf is None:
+        return fodf, dodf, dodf_sig, sig2, lam_flat, snr
+    return fodf, dodf, dodf_sig, sig2, lam_flat, snr, tv_buf
 
 
 @partial(jax.jit, static_argnames=("n_order", "ipat_factor", "use_tv",
                                    "shape3", "nxyz", "precision", "mesh",
-                                   "tv_bf16"))
+                                   "tv_bf16", "fused_interpret"))
 def _rumba_step(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
                 idx_mask, n_order, ipat_factor, use_tv, shape3, nxyz,
-                precision="high", mesh=None, tv_bf16=False):
+                precision="high", mesh=None, tv_bf16=False,
+                tv_buf=None, fused_tabs=None, fused_interpret=False):
     gidx = _gather_index(idx_mask, fodf.shape[0], nxyz)
     return _rumba_step_core(fodf, dodf, dodf_sig, sig2, lam_flat, signal,
                             kernel, idx_mask, gidx, n_order, ipat_factor,
-                            use_tv, shape3, nxyz, precision, mesh, tv_bf16)
+                            use_tv, shape3, nxyz, precision, mesh, tv_bf16,
+                            tv_buf, fused_tabs, fused_interpret)
 
 
 @partial(jax.jit, static_argnames=("k", "n_order", "ipat_factor", "use_tv",
                                    "shape3", "nxyz", "precision", "mesh",
-                                   "tv_bf16"))
+                                   "tv_bf16", "fused_interpret"))
 def _rumba_block(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
                  idx_mask, k, n_order, ipat_factor, use_tv, shape3, nxyz,
-                 precision="high", mesh=None, tv_bf16=False):
+                 precision="high", mesh=None, tv_bf16=False,
+                 tv_buf=None, fused_tabs=None, fused_interpret=False):
     """k RUMBA-SD iterations in one dispatch via lax.fori_loop — on
     high-latency runtimes per-call dispatch would otherwise dominate the
     600-iteration fit."""
     snr = 1.0 / jnp.sqrt(sig2)
     gidx = _gather_index(idx_mask, fodf.shape[0], nxyz)
 
-    def body(_, st):
-        fodf, dodf, dodf_sig, sig2, lam_flat, _snr = st
+    if tv_buf is None:
+        def body(_, st):
+            fodf, dodf, dodf_sig, sig2, lam_flat, _snr = st
+            return _rumba_step_core(
+                fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
+                idx_mask, gidx, n_order, ipat_factor, use_tv, shape3,
+                nxyz, precision, mesh, tv_bf16)
+
+        return jax.lax.fori_loop(
+            0, k, body, (fodf, dodf, dodf_sig, sig2, lam_flat, snr))
+
+    def body_f(_, st):
+        fodf, dodf, dodf_sig, sig2, lam_flat, _snr, tv_buf = st
         return _rumba_step_core(
             fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
             idx_mask, gidx, n_order, ipat_factor, use_tv, shape3, nxyz,
-            precision, mesh, tv_bf16)
+            precision, mesh, tv_bf16, tv_buf, fused_tabs, fused_interpret)
 
     return jax.lax.fori_loop(
-        0, k, body, (fodf, dodf, dodf_sig, sig2, lam_flat, snr))
+        0, k, body_f, (fodf, dodf, dodf_sig, sig2, lam_flat, snr, tv_buf))
 
 
 @partial(jax.jit, static_argnames=("nmask",))
@@ -702,8 +731,38 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     nbr, nbr_ok = _angular_neighbors(odf_dirs)
     half_verts = odf_dirs.vertices[:nvert].astype(np.float32)
 
+    # Fully fused TV path (single-device): embed+stencil+unembed run in
+    # one Pallas pass over the fODF ROW table (ops.pallas.tv_fused),
+    # cutting the TV term's HBM traffic ~2.5x.  The fODF state then
+    # carries zero component padding to a lane multiple (padded columns
+    # stay identically zero through the update: the padded kernel
+    # columns make rl there 0/eps = 0), and the multiplier rides in a
+    # donated row buffer carried across iterations.
+    fused_tabs = None
+    tv_buf = None
+    fused_interpret = False
+    cpad = 0
+    tv_yz = int(tv_shape3[1] * tv_shape3[2])
+    if use_tv and mesh is None and not tv_bf16:
+        from ..ops.pallas import tv_fused as _tvf
+        mode = os.environ.get("FIBERS_TV_FUSED", "auto")
+        want = (mode == "interpret"
+                or (mode in ("auto", "1")
+                    and jax.default_backend() == "tpu"))
+        if (want and _tvf.fused_viable(tv_shape3, n_rows, 128)
+                and (mode == "interpret" or _tvf.fused_probe_ok())):
+            tabs = _tvf.build_tables(idx_tv, tv_shape3, n_rows)
+            if tabs is not None:
+                fused_tabs = (tabs.lo, tabs.starts, tabs.gl,
+                              tabs.inmask, tabs.cellidx)
+                fused_interpret = mode == "interpret"
+                cpad = (-ncomp) % 128
+                if cpad:
+                    kernel = np.pad(kernel, ((0, 0), (0, cpad)))
+
     # Initialization (reference: src/rusd.jl:522-537)
-    fodf0 = np.full(ncomp, 1.0 / ncomp, np.float32)
+    fodf0 = np.concatenate([np.full(ncomp, 1.0 / ncomp, np.float32),
+                            np.zeros(cpad, np.float32)])
     sigma0 = 1.0 / 15
     lam0 = sigma0 ** 2
 
@@ -715,7 +774,7 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
 
     fodf = place(jnp.broadcast_to(jnp.asarray(fodf0),
-                                  (n_rows, ncomp)).copy())
+                                  (n_rows, ncomp + cpad)).copy())
     dodf = place(jnp.broadcast_to(jnp.asarray(kernel @ fodf0),
                                   (n_rows, ndir)).copy())
     sig2 = place(jnp.full((n_rows, 1), lam0, jnp.float32))
@@ -723,6 +782,8 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     lam_flat = jnp.full((tv_nxyz,), lam0, jnp.float32)
     kernel_j = jnp.asarray(kernel)
     idx_j = jnp.asarray(idx_tv)
+    if fused_tabs is not None:
+        tv_buf = jnp.ones((n_rows + tv_yz, ncomp + cpad), jnp.float32)
 
     # Resume from checkpoint if present
     if on_mismatch not in ("raise", "fresh"):
@@ -753,7 +814,7 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                 # row padding depends on batch/mesh (real rows are the
                 # first nmask), and pre-v2 checkpoints stored lam_flat on
                 # the full volume instead of the TV crop.
-                fodf_h = np.asarray(ck["fodf"])[:nmask]
+                fodf_h = np.asarray(ck["fodf"])[:nmask, :ncomp]
                 sig2_h = np.asarray(ck["sig2"])[:nmask]
                 if fodf_h.shape[0] < nmask:
                     raise ValueError(
@@ -761,8 +822,9 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                         f"({fodf_h.shape[0]}) than masked voxels "
                         f"({nmask})")
                 pad = n_rows - nmask
+                if pad or cpad:
+                    fodf_h = np.pad(fodf_h, ((0, pad), (0, cpad)))
                 if pad:
-                    fodf_h = np.pad(fodf_h, ((0, pad), (0, 0)))
                     sig2_h = np.concatenate(
                         [sig2_h, np.full((pad, 1), lam0, np.float32)])
                 lam_h = np.asarray(ck["lam_flat"]).reshape(-1)
@@ -835,10 +897,15 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             if checkpoint_path is not None and checkpoint_every > 0:
                 k = min(k, checkpoint_every - it % checkpoint_every)
             k = min(k, _BLOCK_ITERS)
-            fodf, dodf, dodf_sig, sig2, lam_flat, snr = _rumba_block(
+            st = _rumba_block(
                 fodf, dodf, dodf_sig, sig2, lam_flat, signal_j, kernel_j,
                 idx_j, k, n_order, ipat_factor, use_tv, tv_shape3, tv_nxyz,
-                precision, mesh, tv_bf16)
+                precision, mesh, tv_bf16, tv_buf, fused_tabs,
+                fused_interpret)
+            if fused_tabs is not None:
+                fodf, dodf, dodf_sig, sig2, lam_flat, snr, tv_buf = st
+            else:
+                fodf, dodf, dodf_sig, sig2, lam_flat, snr = st
             it += k
             if pace_gates and pace_t0 is None:
                 np.asarray(sig2[(0,) * sig2.ndim])   # block 1 + compiles
@@ -863,7 +930,8 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                     and it % checkpoint_every == 0 and it < niter):
                 tmp = checkpoint_path + ".tmp.npz"
                 from ..ops.transfer import to_host
-                np.savez(tmp, fodf=to_host(fodf), sig2=to_host(sig2),
+                fodf_ck = fodf[:, :ncomp] if cpad else fodf
+                np.savez(tmp, fodf=to_host(fodf_ck), sig2=to_host(sig2),
                          lam_flat=np.asarray(lam_flat), iteration=it,
                          nmask=nmask, ncomp=ncomp, niter=niter,
                          version=2, n_rows=n_rows,
