@@ -319,12 +319,33 @@ print(f"SNR estimate after 60 iters: {rumba60.snr_mean:.1f}")
 assert np.isfinite(rumba60.gfa.vol[mask]).all()
 """),
     code("""
-# the reference's struct-resume convention: read a written result back
+# the reference's struct-resume convention: a result-struct type as the
+# second argument of mri_read reads the field-per-file set back, exactly
+# like the reference tutorial's  mri_read(indir*"/rumba100", RUMBASD)
 from fibers_tpu import RUMBASD
-rumba_back = ft.mri_read_struct(f"{outdir}/rumba30", RUMBASD)
+rumba_back = ft.mri_read(f"{outdir}/rumba30", RUMBASD)
 err = np.abs(rumba_back.gfa.vol - rumba30.gfa.vol).max()
 print(f"struct round trip max |dGFA| = {err:.2e}")
 assert err < 1e-5
+"""),
+    md("""
+GFA (generalized fractional anisotropy, std/rms of the fODF) should
+separate the tissue classes just like FA did for the tensor fit —
+that is the quantitative spot check the reference tutorial performs on
+its precomputed RUMBA run.
+"""),
+    code("""
+gfa = np.asarray(rumba60.gfa.vol)
+print(f"GFA  WM: {gfa[wm].mean():.3f}  GM: {gfa[gm].mean():.3f}  "
+      f"CSF: {gfa[csf].mean():.3f}")
+assert gfa[wm].mean() > 1.5 * gfa[gm].mean()
+assert gfa[wm].mean() > 1.5 * gfa[csf].mean()
+
+# the white-matter fraction map (1 - fGM - fCSF) should be high in the
+# anisotropic bulk and low in the isotropic compartments
+fwm = 1.0 - np.asarray(rumba60.fgm.vol) - np.asarray(rumba60.fcsf.vol)
+print(f"fWM  WM: {fwm[wm].mean():.2f}  CSF: {fwm[csf].mean():.2f}")
+assert fwm[wm].mean() > 0.6 and fwm[csf].mean() < 0.45
 """),
     md("""
 ## 8. Deterministic tractography
@@ -349,6 +370,55 @@ print("first line:", pts.shape[1], "points")
 zdrift = [np.ptp(np.asarray(m)[2]) for m in t2.xyz[:200]]
 print(f"median z-extent: {np.median(zdrift):.2f} voxels")
 assert np.median(zdrift) < 2.0
+"""),
+    md("""
+### Visualizing peaks and tracts
+
+The standard direction-encoded view: GQI peak vectors as a quiver over
+the FA map on the middle axial slice, and the tractogram projected onto
+the same plane, each segment colored by its local direction
+(|x|,|y|,|z| -> RGB).  In the crossing slab the quiver shows both
+fiber populations.
+"""),
+    code("""
+import matplotlib.pyplot as plt
+from matplotlib.collections import LineCollection
+
+zmid = shape[2] // 2
+fig, axs = plt.subplots(1, 2, figsize=(11, 5))
+
+# peak quiver over FA
+fa_sl = np.asarray(dti.fa.vol)[:, :, zmid]
+p1v = np.asarray(gqi.peak[0].vol)[:, :, zmid]
+p2v = np.asarray(gqi.peak[1].vol)[:, :, zmid]
+axs[0].imshow(fa_sl.T, origin="lower", cmap="gray", vmin=0, vmax=1)
+s = 2                                     # plot every 2nd voxel
+gx, gy = np.meshgrid(np.arange(0, shape[0], s),
+                     np.arange(0, shape[1], s), indexing="ij")
+for pv, col in ((p1v, "red"), (p2v, "cyan")):
+    u, w = pv[::s, ::s, 0], pv[::s, ::s, 1]
+    axs[0].quiver(gx, gy, u, w, color=col, scale=28, width=0.004,
+                  headwidth=1, pivot="middle")
+axs[0].set_title("GQI peaks 1 (red) + 2 (cyan) over FA")
+
+# direction-colored tract projection
+segs, cols = [], []
+for m in t2.xyz[:1500]:
+    p = np.asarray(m).T                   # [npts, 3] voxel coords
+    if len(p) < 2:
+        continue
+    d = np.abs(np.diff(p, axis=0))
+    d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+    segs.extend(np.stack([p[:-1, :2], p[1:, :2]], axis=1))
+    cols.extend(d)
+axs[1].add_collection(LineCollection(segs, colors=cols, linewidths=0.4))
+axs[1].set_xlim(0, shape[0]); axs[1].set_ylim(0, shape[1])
+axs[1].set_aspect("equal")
+axs[1].set_title(f"{t2.n_count} streamlines, direction-colored")
+fig.savefig(f"{outdir}/peaks_tracts.png", dpi=80)
+print(f"rendered {len(segs)} segments -> {outdir}/peaks_tracts.png")
+assert len(segs) > 5000
+plt.close(fig)
 """),
     md("""
 ## 9. RUMBA fODF peaks -> tractography
