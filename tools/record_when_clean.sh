@@ -9,11 +9,11 @@
 # attempt cap; windows can collapse mid-run, so config 4 also carries an
 # in-run pace abort (--abort-pace) that kills a doomed attempt in ~90 s.
 #
-#   OUTDIR=/tmp/records_r4 bash tools/record_when_clean.sh
+#   OUTDIR=benchmarks/records_r5 bash tools/record_when_clean.sh
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:/root/.axon_site"
-OUTDIR="${OUTDIR:-/tmp/records_r4}"
+OUTDIR="${OUTDIR:-/tmp/records_r5}"
 DEADLINE_S="${DEADLINE_S:-14400}"
 mkdir -p "$OUTDIR"
 START=$(date +%s)
@@ -91,9 +91,9 @@ PYEOF
 # caps bound total TPU time; pace-aborted config-4 attempts are cheap.
 # mfu's "value" is a table, not a number: existence is the target
 want_mfu()   { ! have mfu.json && [ "$(attempts mfu.json)" -lt 2 ]; }
-want_rumba() { want rumba.json   150 8; }   # rumba<=85 + chain ~65
+want_rumba() { want rumba.json   140 8; }   # fused-TV rumba<=65 + chain
 want_e2e()   { want e2e.json      45 4; }
-want_dsi()   { want dsi.json      20 4; }
+want_dsi()   { want dsi.json      16 4; }
 
 while :; do
     now=$(date +%s)
