@@ -8,8 +8,8 @@ gather compacting the multiplier back to rows — and the two gathers run
 at only ~194 GB/s (54% of the stencil kernel's rate).  This kernel reads
 the fODF ROW TABLE directly and writes the multiplier ROW TABLE directly
 (~6 GB/iter), exploiting one structural fact: batch rows are in
-volume-scan order (core.ops.masked.mask_indices sorts flat indices), so
-the rows belonging to one x-slice of the TV grid are a single contiguous
+volume-scan order (ops.masked.mask_indices sorts flat indices), so the
+rows belonging to one x-slice of the TV grid are a single contiguous
 range [lo[x], lo[x]+cnt[x]).
 
 Per grid step (component-chunk c, slice x — x innermost, sequential on
@@ -17,13 +17,17 @@ the core):
   1. one dynamic-offset DMA pulls the row window for slice x+1 from HBM
      into VMEM (window size is a static YZ rows; the start is clamped so
      the window always fits the table),
-  2. an in-VMEM sublane gather (jnp.take over axis 0) + mask expands the
-     window into the dense [Y, Z, cb] slice (out-of-mask cells -> 0,
-     exactly like the unfused embed whose padding row is zero),
-  3. the stencil runs exactly as ops.pallas.tv_stencil._tv_kernel
-     (identical arithmetic, so the multiplier is bit-identical), with
-     the center slice carried in VMEM from the previous step (the
-     unfused kernel re-reads it as a second HBM view),
+  2. an in-VMEM sublane gather (take_along_axis over axis 0, [YZ, 1]
+     indices) + mask expands the window into the dense slice
+     (out-of-mask cells -> 0, exactly like the unfused embed whose
+     padding row is zero),
+  3. the stencil runs with arithmetic identical to
+     ops.pallas.tv_stencil._tv_kernel, but formulated on the FLAT
+     [YZ, C] slice: the y/z shifts become sublane shifts by Z/1 with
+     iota masks reproducing the clamped-edge/boundary-row semantics
+     exactly (no [YZ]->[Y,Z] reshape, which Mosaic cannot relayout for
+     Z not a sublane multiple).  The center slice is carried in VMEM
+     from the previous step.
   4. a second sublane gather compacts the dense multiplier back into row
      order and one DMA writes YZ rows at offset lo[x].  Writes overlap
      across steps; steps run in slice order and each write starts
@@ -62,14 +66,22 @@ _LANE = 128
 @dataclass(frozen=True)
 class FusedTVTables:
     """Iteration-invariant index tables for the fused TV kernel (device
-    arrays; built once per rumba_rec call)."""
+    arrays; built once per rumba_rec call).  The per-cell tables are
+    stored as [X*YZp, 1] COLUMNS so the kernel sees them as [YZp, 1]
+    blocks (2-D sublane vectors, the layout Mosaic gathers want)."""
     lo: "jnp.ndarray"        # [X] i32: first batch row of slice x
     starts: "jnp.ndarray"    # [X] i32: clamped input-DMA window start
-    gl: "jnp.ndarray"        # [X, YZp] i32: cell -> window-local row
-    inmask: "jnp.ndarray"    # [X, YZp] f32: 1 for in-mask cells
-    cellidx: "jnp.ndarray"   # [X, YZp] i32: local row -> local cell
+    gl: "jnp.ndarray"        # [X*YZp, 1] i32: cell -> window-local row
+    inmask: "jnp.ndarray"    # [X*YZp, 1] f32: 1 for in-mask cells
+    cellidx: "jnp.ndarray"   # [X*YZp, 1] i32: local row -> local cell
     shape3: tuple            # static (X, Y, Z) of the TV grid
     n_rows: int              # static row-table length
+
+
+def _pad_cols(a: np.ndarray, yzp: int) -> np.ndarray:
+    """[X, yz] -> [X*yzp, 1] with per-slice lane padding."""
+    x, yz = a.shape
+    return np.pad(a, ((0, 0), (0, yzp - yz))).reshape(x * yzp, 1)
 
 
 def build_tables(idx_tv: np.ndarray, tv_shape3, n_rows: int):
@@ -82,7 +94,7 @@ def build_tables(idx_tv: np.ndarray, tv_shape3, n_rows: int):
     yz = Y * Z
     if n_rows < yz or len(idx_tv) == 0:
         return None
-    yzp = ((yz + _LANE - 1) // _LANE) * _LANE
+    yzp = ((yz + 7) // 8) * 8
     nmask = len(idx_tv)
 
     lo = np.searchsorted(idx_tv, np.arange(X, dtype=np.int64) * yz)
@@ -107,14 +119,12 @@ def build_tables(idx_tv: np.ndarray, tv_shape3, n_rows: int):
         # the next slice (its write starts at the same lo) or land in
         # the padding tail
 
-    pad = yzp - yz
-    gl = np.pad(gl, ((0, 0), (0, pad)))
-    inm = np.pad(inm.astype(np.float32), ((0, 0), (0, pad)))
-    cellidx = np.pad(cellidx, ((0, 0), (0, pad)))
     return FusedTVTables(
         lo=jnp.asarray(lo), starts=jnp.asarray(starts),
-        gl=jnp.asarray(gl), inmask=jnp.asarray(inm),
-        cellidx=jnp.asarray(cellidx), shape3=(X, Y, Z), n_rows=n_rows)
+        gl=jnp.asarray(_pad_cols(gl, yzp)),
+        inmask=jnp.asarray(_pad_cols(inm.astype(np.float32), yzp)),
+        cellidx=jnp.asarray(_pad_cols(cellidx, yzp)),
+        shape3=(X, Y, Z), n_rows=n_rows)
 
 
 def fused_viable(tv_shape3, n_rows: int, cb: int) -> bool:
@@ -136,7 +146,7 @@ def fused_probe_ok() -> bool:
     backend ONCE per process; False (with a warning) if Mosaic rejects
     it — callers then fall back to the unfused TV path.  The kernel
     leans on two Mosaic features that are probe-worthy: dynamic-offset
-    HBM DMAs and in-VMEM sublane gathers (jnp.take along axis 0)."""
+    HBM DMAs and in-VMEM sublane gathers (take_along_axis, axis 0)."""
     global _probe_result
     if _probe_result is None:
         import sys
@@ -164,8 +174,8 @@ def fused_probe_ok() -> bool:
     return _probe_result
 
 
-def _kernel(yz, cb, lo_ref, st_ref, glc_ref, inc_ref, gln_ref, inn_ref,
-            cell_ref, lam_ref, rows_hbm, prev_hbm, out_hbm,
+def _kernel(yz, z_len, cb, lo_ref, st_ref, glc_ref, inc_ref, gln_ref,
+            inn_ref, cell_ref, lam_ref, rows_hbm, prev_hbm, out_hbm,
             vcur, vnext, pgxn, rwin, isem, osem):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -173,17 +183,16 @@ def _kernel(yz, cb, lo_ref, st_ref, glc_ref, inc_ref, gln_ref, inn_ref,
     c = pl.program_id(0)
     x = pl.program_id(1)
     nx = pl.num_programs(1)
-    ny, nz = lam_ref.shape[1], lam_ref.shape[2]
 
     def expand(start, gl_ref, in_ref, dst):
         cp = pltpu.make_async_copy(
             rows_hbm.at[pl.ds(start, yz), pl.ds(c * cb, cb)], rwin, isem)
         cp.start()
         cp.wait()
-        gl = gl_ref[0, :yz]
-        msk = in_ref[0, :yz]
-        dst[...] = jnp.where(msk[:, None] > 0,
-                             jnp.take(rwin[...], gl, axis=0), 0.0)
+        gl = gl_ref[:yz]                       # [yz, 1] i32
+        msk = in_ref[:yz]                      # [yz, 1] f32
+        dst[...] = jnp.where(
+            msk > 0, jnp.take_along_axis(rwin[...], gl, axis=0), 0.0)
 
     @pl.when(x == 0)
     def _():
@@ -197,36 +206,48 @@ def _kernel(yz, cb, lo_ref, st_ref, glc_ref, inc_ref, gln_ref, inn_ref,
     xn = jnp.minimum(x + 1, nx - 1)
     expand(st_ref[xn], gln_ref, inn_ref, vnext)
 
-    # Stencil: identical arithmetic to tv_stencil._tv_kernel (forward
-    # differences with clamped upper edge; one divide + three
-    # multiplies; divergence via zero-leading-row differences).
-    v = vcur[...].reshape(ny, nz, cb)
-    vn = vnext[...].reshape(ny, nz, cb)
+    # Stencil on the FLAT [yz, cb] slice (row-major cells, j = y*Z + z):
+    # arithmetic identical to tv_stencil._tv_kernel.  The y neighbor is
+    # a sublane shift by Z (the tail Z rows read themselves -> gy = 0,
+    # the clamped upper edge); the z neighbor is a shift by 1 with the
+    # last-z rows masked to 0 (their flat neighbor is the next row's
+    # first cell, but the clamped edge makes the true gradient 0).
+    v = vcur[...]
+    vn = vnext[...]
+    zi = jax.lax.broadcasted_iota(jnp.int32, (yz, 1), 0) % z_len
+    lastz = zi == (z_len - 1)
+    firstz = zi == 0
+
     gx = vn - v
-    gy = jnp.concatenate([v[1:], v[-1:]], axis=0) - v
-    gz = jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1) - v
+    gy = jnp.concatenate([v[z_len:], v[yz - z_len:]], axis=0) - v
+    gz = jnp.where(lastz, 0.0,
+                   jnp.concatenate([v[1:], v[yz - 1:]], axis=0) - v)
 
     ninv = 1.0 / jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-7)
     gxn = gx * ninv
     gyn = gy * ninv
     gzn = gz * ninv
 
-    ddx = gxn - pgxn[...].reshape(ny, nz, cb)
-    ddy = gyn - jnp.concatenate([jnp.zeros_like(gyn[:1]), gyn[:-1]],
-                                axis=0)
-    ddz = gzn - jnp.concatenate([jnp.zeros_like(gzn[:, :1]), gzn[:, :-1]],
-                                axis=1)
+    # Divergence: lead row = g[0], mid = g[j] - g[j-neighbor], last =
+    # -g[n-2] (the clamped gradient is 0 at the upper edge, so the
+    # generic difference reproduces the boundary rows exactly)
+    ddx = gxn - pgxn[...]
+    ddy = gyn - jnp.concatenate(
+        [jnp.zeros_like(gyn[:z_len]), gyn[:yz - z_len]], axis=0)
+    ddz = gzn - jnp.where(
+        firstz, 0.0,
+        jnp.concatenate([jnp.zeros_like(gzn[:1]), gzn[:-1]], axis=0))
     div = ddx + ddy + ddz
 
-    lam = lam_ref[0][..., None]
-    tv = (1.0 / (jnp.abs(1.0 - lam * div) + 1e-7)).reshape(yz, cb)
+    lam = lam_ref[:yz]                         # [yz, 1] f32
+    tv = 1.0 / (jnp.abs(1.0 - lam * div) + 1e-7)
 
-    pgxn[...] = gxn.reshape(yz, cb)
+    pgxn[...] = gxn
 
     # Compact to row order and write at this slice's row offset; the
     # write is serialized within the step so the next (overlapping)
     # slice's write lands after it.
-    rwin[...] = jnp.take(tv, cell_ref[0, :yz], axis=0)
+    rwin[...] = jnp.take_along_axis(tv, cell_ref[:yz], axis=0)
     ocp = pltpu.make_async_copy(
         rwin, out_hbm.at[pl.ds(lo_ref[x], yz), pl.ds(c * cb, cb)], osem)
     ocp.start()
@@ -251,13 +272,17 @@ def tv_fused(rows, tv_buf, lam3, lo, starts, gl, inmask, cellidx,
 
     X, Y, Z = shape3
     yz = Y * Z
+    yzp = ((yz + 7) // 8) * 8
     R, Cp = rows.shape
     if Cp % cb:
         raise ValueError(f"Cp={Cp} not a multiple of cb={cb}")
     if tv_buf.shape != (R + yz, Cp):
         raise ValueError(f"tv_buf shape {tv_buf.shape} != {(R + yz, Cp)}")
     nc = Cp // cb
-    yzp = gl.shape[1]
+
+    # lam as [X*yzp, 1] columns, padded per slice (cheap: ~6 MB/iter)
+    lam_cols = jnp.pad(lam3.reshape(X, yz),
+                       ((0, 0), (0, yzp - yz))).reshape(X * yzp, 1)
 
     kwargs = {}
     if not interpret:
@@ -265,20 +290,21 @@ def tv_fused(rows, tv_buf, lam3, lo, starts, gl, inmask, cellidx,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=TV_VMEM_BUDGET)
 
+    col = pl.BlockSpec((yzp, 1), lambda c, x: (x, 0))
+    coln = pl.BlockSpec((yzp, 1), lambda c, x: (jnp.minimum(x + 1, X - 1),
+                                                0))
     return pl.pallas_call(
-        partial(_kernel, yz, cb),
+        partial(_kernel, yz, Z, cb),
         grid=(nc, X),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # lo
             pl.BlockSpec(memory_space=pltpu.SMEM),          # starts
-            pl.BlockSpec((1, yzp), lambda c, x: (x, 0)),    # gl center
-            pl.BlockSpec((1, yzp), lambda c, x: (x, 0)),    # inmask c.
-            pl.BlockSpec((1, yzp),
-                         lambda c, x: (jnp.minimum(x + 1, X - 1), 0)),
-            pl.BlockSpec((1, yzp),
-                         lambda c, x: (jnp.minimum(x + 1, X - 1), 0)),
-            pl.BlockSpec((1, yzp), lambda c, x: (x, 0)),    # cellidx
-            pl.BlockSpec((1, Y, Z), lambda c, x: (x, 0, 0)),  # lam
+            col,                                            # gl center
+            col,                                            # inmask c.
+            coln,                                           # gl next
+            coln,                                           # inmask n.
+            col,                                            # cellidx
+            col,                                            # lam cols
             pl.BlockSpec(memory_space=pl.ANY),              # rows
             pl.BlockSpec(memory_space=pl.ANY),              # prev tv
         ],
@@ -293,4 +319,5 @@ def tv_fused(rows, tv_buf, lam3, lo, starts, gl, inmask, cellidx,
         input_output_aliases={9: 0},
         interpret=interpret,
         **kwargs,
-    )(lo, starts, gl, inmask, gl, inmask, cellidx, lam3, rows, tv_buf)
+    )(lo, starts, gl, inmask, gl, inmask, cellidx, lam_cols,
+      rows, tv_buf)

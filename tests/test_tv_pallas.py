@@ -130,7 +130,8 @@ class TestFusedTV:
         from fibers_tpu.ops.pallas.tv_fused import build_tables, tv_fused
 
         for X, Y, Z, frac in [(5, 4, 32, 0.5), (4, 8, 16, 0.15),
-                              (6, 4, 32, 0.02), (7, 2, 64, 0.95)]:
+                              (6, 4, 32, 0.02), (7, 2, 64, 0.95),
+                              (4, 5, 26, 0.4), (3, 7, 9, 0.6)]:
             yz = Y * Z
             m = rng.random(X * yz) < frac
             m[3] = True
