@@ -243,3 +243,28 @@ class TestFusedTV:
         np.testing.assert_allclose(np.asarray(resumed2.fodf.vol),
                                    np.asarray(full.fodf.vol),
                                    rtol=1e-5, atol=1e-6)
+
+    def test_rumba_fused_falls_back_on_kernel_failure(self, rng,
+                                                      monkeypatch,
+                                                      capsys):
+        """A full-scale Mosaic failure (probe passed, real shape did
+        not) must fall back to the unfused path, not crash the fit."""
+        import sys
+        sys.path.insert(0, "tests")
+        import fibers_tpu as ft
+        import fibers_tpu.ops.pallas.tv_fused as tvf
+        from phantom import make_phantom
+
+        dwi, mask, _, _ = make_phantom(shape=(5, 4, 4), ndir=30)
+        base = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=6)
+
+        def boom(*a, **k):
+            raise RuntimeError("Mosaic says no")
+
+        monkeypatch.setenv("FIBERS_TV_FUSED", "interpret")
+        monkeypatch.setattr(tvf, "tv_fused", boom)
+        rec = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=6)
+        assert "falling back" in capsys.readouterr().err
+        np.testing.assert_allclose(np.asarray(rec.fodf.vol),
+                                   np.asarray(base.fodf.vol),
+                                   rtol=1e-6, atol=1e-7)
