@@ -44,8 +44,17 @@ def _preflight():
                          "(port 8082 refused) — not a framework failure; "
                          "only the external driver can restore the relay\n")
         sys.exit(2)
+    # The child enables the persistent compile cache BEFORE the matmul:
+    # without it every probe pays a fresh remote compile + staging
+    # (15-400 s on this runtime), and a healthy-but-cold tunnel would
+    # read as dead at the 45 s deadline.
     p = subprocess.Popen(
         [sys.executable, "-c",
+         "import jax; "
+         "jax.config.update('jax_compilation_cache_dir', "
+         f"{os.environ.get('FIBERS_JAX_CACHE', '/tmp/fibers_jax_cache')!r}); "
+         "jax.config.update("
+         "'jax_persistent_cache_min_compile_time_secs', 0.0); "
          "import jax.numpy as jnp; "
          "float((jnp.ones((64,64)) @ jnp.ones((64,64)))[0,0])"],
         env=dict(os.environ),

@@ -178,6 +178,21 @@ def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False,
         warm_stream_async(shape, padded_size(nmask), nvec=5,
                           chunk=1 << 17, wire="i6")
 
+    # warm the iteration block for this shape bucket (fused-TV variant
+    # on TPU) so a persistent-cache miss compiles under the signal
+    # upload instead of inside the timed fit
+    from fibers_tpu.models.rumba import _tv_bbox
+    from fibers_tpu.ops.masked import mask_indices
+    from fibers_tpu.utils.warmup import warm_rumba_async
+    idxm = mask_indices(maskm.vol)
+    tvs3, _, _, _ = _tv_bbox(idxm, shape)
+    warm_rumba_async(tvs3, 1 + nsh, ft.sphere_724.nvert_half + 2,
+                     len(idxm),
+                     fused=(jax.default_backend() == "tpu"
+                            and not tv_bf16
+                            and os.environ.get("FIBERS_TV_FUSED",
+                                               "auto") != "0"))
+
     t0 = time.time()
     rum = ft.rumba_rec(dwi, maskm, ft.sphere_724, niter=niter,
                        tv_bf16=tv_bf16, abort_s_per_iter=abort_pace)

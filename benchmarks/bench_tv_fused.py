@@ -69,13 +69,13 @@ def _time_block(fused: bool, idx_tv, rng):
     idx_j = jnp.asarray(idx_tv)
 
     tabs = None
-    tv_buf = None
     if fused:
         t = build_tables(idx_tv, (X, Y, Z), N)
         tabs = (t.lo, t.starts, t.gl, t.inmask, t.cellidx)
-        tv_buf = jnp.ones((N + yz, cp), jnp.float32)
 
     def run(k):
+        # tv_buf is DONATED by _rumba_block — allocate per call
+        tv_buf = jnp.ones((N + yz, cp), jnp.float32) if fused else None
         st = _rumba_block(fodf, dodf, dsig, sig2, lam, sig, ker, idx_j,
                           k, 1, 1, True, (X, Y, Z), nxyz, "high", None,
                           False, tv_buf, tabs, False)
@@ -91,6 +91,10 @@ def _time_block(fused: bool, idx_tv, rng):
             b = min(b, time.perf_counter() - t0)
         best[k] = b
     slope = (best[K_HI] - best[K_LO]) / (K_HI - K_LO)
+    if slope <= 0:
+        # RTT weather noise exceeded the k_hi-k_lo signal — report
+        # nothing rather than a nonsense number (see bench_mfu._slope)
+        return None
     return slope
 
 
@@ -104,13 +108,21 @@ def main():
         sys.exit(1)
 
     t_unfused = _time_block(False, idx_tv, rng)
+    if t_unfused is None:
+        sys.stderr.write("bench_tv_fused: non-positive unfused slope "
+                         "(RTT weather noise); re-run in a clean window\n")
+        sys.exit(1)
     sys.stderr.write(f"unfused iteration: {1000 * t_unfused:.1f} ms\n")
 
     t_fused = None
     if fused_probe_ok():
         t_fused = _time_block(True, idx_tv, rng)
-        sys.stderr.write(f"fused   iteration: {1000 * t_fused:.1f} ms "
-                         f"({t_unfused / t_fused:.2f}x)\n")
+        if t_fused is None:
+            sys.stderr.write("bench_tv_fused: non-positive fused slope "
+                             "(weather noise); fused row skipped\n")
+        else:
+            sys.stderr.write(f"fused   iteration: {1000 * t_fused:.1f} "
+                             f"ms ({t_unfused / t_fused:.2f}x)\n")
     else:
         sys.stderr.write("fused kernel unavailable (probe failed)\n")
 

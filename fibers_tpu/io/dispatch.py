@@ -34,17 +34,25 @@ def mri_read(infile: str, result_type: type = None,
     `mri_read(inbase, RUMBASD)` — reads the set of `<inbase>_<field>`
     files written by the `*_write` functions back into that struct,
     exactly like the reference's generic loader (the tutorial resumes a
-    precomputed RUMBA fit this way).
+    precomputed RUMBA fit this way).  A bool second positional argument
+    is still accepted as `headeronly` (the pre-round-5 signature).
 
     (reference: src/mri.jl:611-733 and src/mri.jl:2276-2311)
     """
     if result_type is not None:
-        if not isinstance(result_type, type):
+        if isinstance(result_type, (bool, int)):
+            # pre-round-5 signature compatibility: mri_read(path, True)
+            # was a positional headeronly read
+            headeronly = bool(result_type)
+        elif not isinstance(result_type, type):
             raise TypeError(
                 "mri_read's second argument must be a result-struct type "
-                f"(e.g. RUMBASD), got {result_type!r}")
-        return mri_read_struct(infile, result_type, headeronly=headeronly,
-                               permutedata=permutedata)
+                f"(e.g. RUMBASD) or the headeronly flag, got "
+                f"{result_type!r}")
+        else:
+            return mri_read_struct(infile, result_type,
+                                   headeronly=headeronly,
+                                   permutedata=permutedata)
     if os.path.isdir(infile):
         from .bruker import load_bruker
         mri = load_bruker(infile, headeronly=headeronly, reco=reco)

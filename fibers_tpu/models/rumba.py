@@ -419,14 +419,18 @@ def _rumba_step(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
 
 @partial(jax.jit, static_argnames=("k", "n_order", "ipat_factor", "use_tv",
                                    "shape3", "nxyz", "precision", "mesh",
-                                   "tv_bf16", "fused_interpret"))
+                                   "tv_bf16", "fused_interpret"),
+         donate_argnames=("tv_buf",))
 def _rumba_block(fodf, dodf, dodf_sig, sig2, lam_flat, signal, kernel,
                  idx_mask, k, n_order, ipat_factor, use_tv, shape3, nxyz,
                  precision="high", mesh=None, tv_bf16=False,
                  tv_buf=None, fused_tabs=None, fused_interpret=False):
     """k RUMBA-SD iterations in one dispatch via lax.fori_loop — on
     high-latency runtimes per-call dispatch would otherwise dominate the
-    600-iteration fit."""
+    600-iteration fit.  `tv_buf` (the fused TV multiplier row buffer) is
+    DONATED: without donation XLA keeps a second ~1.1 GB copy of it
+    resident across every block dispatch at HCP scale.  Callers must
+    rebind it from the returned state and never reuse the old array."""
     snr = 1.0 / jnp.sqrt(sig2)
     gidx = _gather_index(idx_mask, fodf.shape[0], nxyz)
 
@@ -853,13 +857,18 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                 it_start = int(ck["iteration"])
                 print(f"Resuming RUMBA-SD from iteration {it_start} "
                       f"({checkpoint_path})")
-        except ValueError:
+        except Exception:
+            # not just ValueError: a truncated/corrupt npz raises
+            # BadZipFile/OSError, a missing key raises KeyError — all of
+            # them mean "this checkpoint is unusable", which is exactly
+            # what on_mismatch='fresh' exists to survive unattended
             if on_mismatch == "raise":
                 raise
             import warnings
             warnings.warn(
                 f"checkpoint {checkpoint_path} does not match this "
-                "problem; starting fresh (on_mismatch='fresh')",
+                "problem or is unreadable; starting fresh "
+                "(on_mismatch='fresh')",
                 stacklevel=2)
             it_start = 0
 
@@ -904,12 +913,16 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                     tv_shape3, tv_nxyz, precision, mesh, tv_bf16, tv_buf,
                     fused_tabs, fused_interpret)
             except Exception:
-                if fused_tabs is None or it != it_start:
+                if fused_tabs is None:
                     raise
                 # The tiny compile probe can pass while the FULL-scale
                 # Mosaic compile fails (e.g. VMEM pressure at this
-                # problem's YZ); fall back to the unfused TV path once,
-                # stripping the component padding from the state.
+                # problem's YZ) — and later blocks with a different k
+                # are fresh compiles too (the cache occasionally misses,
+                # CLAUDE.md).  Fall back to the unfused TV path at ANY
+                # block rather than lose an hour-scale fit's progress;
+                # the state strip (drop component padding) is valid
+                # mid-fit because padded columns are identically zero.
                 import sys as _sys
                 _sys.stderr.write(
                     "fibers_tpu.rumba: fused TV block failed to "

@@ -165,8 +165,13 @@ def warm_e2e_async(shape3, nvol, n_pad, sphere=None, chunk=1 << 17,
 
 
 def warm_rumba_async(tv_shape3, ndir, ncomp, n_rows,
-                     k=None) -> threading.Thread:
-    """Start compiling the RUMBA iteration block for its shape bucket."""
+                     k=None, fused=False) -> threading.Thread:
+    """Start compiling the RUMBA iteration block for its shape bucket.
+
+    With `fused=True`, warms the fused-TV signature instead: component
+    axis padded to a lane multiple, plus the tv_buf carry and the five
+    index-table arguments (the shape bucket the single-device TPU path
+    actually executes; see models.rumba and ops.pallas.tv_fused)."""
 
     def run():
         try:
@@ -175,19 +180,32 @@ def warm_rumba_async(tv_shape3, ndir, ncomp, n_rows,
             from ..models import rumba as _r
 
             kk = _r._BLOCK_ITERS if k is None else int(k)
-            tv_nxyz = int(np.prod(tv_shape3))
+            X, Y, Z = (int(s) for s in tv_shape3)
+            tv_nxyz = X * Y * Z
+            yz = Y * Z
+            yzp = ((yz + 7) // 8) * 8
+            cp = ncomp + ((-ncomp) % 128) if fused else ncomp
+            tv_buf = _sds((n_rows + yz, cp)) if fused else None
+            tabs = ((_sds((X,), np.int32), _sds((X,), np.int32),
+                     _sds((X * yzp, 1), np.int32),
+                     _sds((X * yzp, 1), np.float32),
+                     _sds((X * yzp, 1), np.int32))
+                    if fused else None)
             jax.jit(_r._rumba_block.__wrapped__,
                     static_argnames=("k", "n_order", "ipat_factor",
                                      "use_tv", "shape3", "nxyz",
-                                     "precision", "mesh",
-                                     "tv_bf16")).lower(
-                _sds((n_rows, ncomp)), _sds((n_rows, ndir)),
+                                     "precision", "mesh", "tv_bf16",
+                                     "fused_interpret"),
+                    donate_argnames=("tv_buf",)).lower(
+                _sds((n_rows, cp)), _sds((n_rows, ndir)),
                 _sds((n_rows, ndir)), _sds((n_rows, 1)),
                 _sds((tv_nxyz,)), _sds((n_rows, ndir)),
-                _sds((ndir, ncomp)), _sds((n_rows,), np.int64),
+                _sds((ndir, cp)), _sds((n_rows,), np.int64),
                 k=kk, n_order=1, ipat_factor=1, use_tv=True,
-                shape3=tuple(tv_shape3), nxyz=tv_nxyz,
-                precision="high", mesh=None, tv_bf16=False).compile()
+                shape3=(X, Y, Z), nxyz=tv_nxyz,
+                precision="high", mesh=None, tv_bf16=False,
+                tv_buf=tv_buf, fused_tabs=tabs,
+                fused_interpret=False).compile()
         except Exception as e:          # pragma: no cover
             import sys
             sys.stderr.write(f"fibers_tpu.warmup: best-effort warm-up "

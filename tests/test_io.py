@@ -393,7 +393,17 @@ class TestStructConvention:
 
     def test_two_arg_mri_read_rejects_non_type(self, tmp_path):
         with pytest.raises(TypeError, match="result-struct type"):
-            ft.mri_read(str(tmp_path / "x"), 42)
+            ft.mri_read(str(tmp_path / "x"), "nope")
+
+    def test_two_arg_mri_read_bool_is_headeronly(self, tmp_path, rng):
+        """Pre-round-5 positional compatibility: mri_read(path, True)
+        is a headeronly read."""
+        m = ft.MRI(vol=rng.standard_normal((4, 4, 4)).astype(np.float32))
+        m.vox2ras0 = _geom_matrix()
+        p = str(tmp_path / "h.nii.gz")
+        ft.mri_write(m, p)
+        hdr = ft.mri_read(p, True)
+        assert hdr.vol.size == 0 and tuple(hdr.volsize[:3]) == (4, 4, 4)
 
 
 class TestGeometry:

@@ -42,8 +42,15 @@ def main():
         print(json.dumps({"clean": False, "why": "tunnel relay dead "
                           "(port 8082 refused)"}))
         sys.exit(1)
+    # persistent compile cache in the child too: a cold probe compile
+    # (15-400 s) must not read as a wedged tunnel at the 45 s deadline
     p = subprocess.Popen(
         [_sys.executable, "-c",
+         "import jax; "
+         "jax.config.update('jax_compilation_cache_dir', "
+         "'/tmp/fibers_jax_cache'); "
+         "jax.config.update("
+         "'jax_persistent_cache_min_compile_time_secs', 0.0); "
          "import jax.numpy as jnp; "
          "float((jnp.ones((64,64)) @ jnp.ones((64,64)))[0,0])"],
         env=dict(os.environ),
