@@ -469,12 +469,17 @@ def _pack_records(npts, pts, vsz, scalars=None):
     buffer with bitcast int32 counts, voxel->mm conversion fused in.
     Native single-pass interleave when the C helper built (scalar-free
     case); otherwise vectorized numpy over a boolean count-slot mask."""
+    from ..utils.hostbuf import scratch
+
     npts = np.asarray(npts, np.int64)
     n = len(npts)
     total = int(npts.sum())
     ns = 0 if scalars is None else int(scalars.shape[1])
     width = 3 + ns
-    out = np.empty(n + width * total, np.float32)
+    # pooled: the record buffer is written to the file and dropped by
+    # every caller, and fresh ~100 MB-scale allocations pay a ~0.1 GB/s
+    # first-touch fault cost on the benchmark host (utils.hostbuf)
+    out = scratch("trk.records", n + width * total, np.float32)
     if n == 0:
         return out
     from .. import native
@@ -490,7 +495,8 @@ def _pack_records(npts, pts, vsz, scalars=None):
     if n > 1:
         np.cumsum(1 + width * npts[:-1], out=rec_off[1:])
     rec_off[0] = 0
-    is_count = np.zeros(n + width * total, bool)
+    is_count = scratch("trk.iscount", n + width * total, bool)
+    is_count[:] = False
     is_count[rec_off] = True
     out.view(np.int32)[is_count] = npts.astype(np.int32)
     pts_mm = (np.asarray(pts, np.float32) + np.float32(0.5)) * vsz[None, :]
@@ -571,9 +577,10 @@ class TrkSink:
         np.cumsum(npts32[:-1], dtype=np.int64, out=off[1:])
         total = int(off[-1] + npts32[-1])
         with prof("trk.sink_append_fused"):
+            from ..utils.hostbuf import scratch
             q = np.ascontiguousarray(q[:total * 3], np.int8)
             anch = np.ascontiguousarray(anchors, np.float32)
-            out = np.empty(n + 3 * total, np.float32)
+            out = scratch("trk.records", n + 3 * total, np.float32)
             clib.decode_delta_trk_records(
                 native.as_i8_ptr(q), native.as_i64_ptr(off),
                 native.as_i32_ptr(npts32), native.as_f32_ptr(anch),
@@ -603,12 +610,13 @@ class TrkSink:
         np.cumsum(npts32[:-1], dtype=np.int64, out=off[1:])
         total = int(off[-1] + npts32[-1])
         with prof("trk.sink_append_fused"):
+            from ..utils.hostbuf import scratch
             w = np.ascontiguousarray(words.view(np.uint32))
             need = ((total * 3 + 15) // 16) * 3
             if len(w) < need:
                 return False
             anch = np.ascontiguousarray(anchors, np.float32)
-            out = np.empty(n + 3 * total, np.float32)
+            out = scratch("trk.records", n + 3 * total, np.float32)
             clib.decode_delta6_trk_records(
                 native.as_u32_ptr(w), native.as_i64_ptr(off),
                 native.as_i32_ptr(npts32), native.as_f32_ptr(anch),

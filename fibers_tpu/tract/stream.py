@@ -450,10 +450,13 @@ def _fetch_wire(buf, total, mode):
 def _unpack6(raw, nvals):
     """Expand the packed 6-bit wire (uint32 words; 16 sign-offset fields
     per 3 words, _compact mode="i6") to int8 deltas of length >= nvals,
-    which then feed the int8 decoders unchanged."""
+    which then feed the int8 decoders unchanged.  The result is a pooled
+    scratch view (utils.hostbuf): valid only until the next _unpack6
+    call — every caller consumes it before fetching the next chunk."""
+    from ..utils.hostbuf import scratch
     w = np.ascontiguousarray(raw.view(np.uint32))
     ngroups = (nvals + 15) // 16
-    out = np.empty(ngroups * 16, np.int8)
+    out = scratch("wire.unpack6", ngroups * 16, np.int8)
     from .. import native
     clib = native.lib()
     if clib is not None:
@@ -462,7 +465,8 @@ def _unpack6(raw, nvals):
         return out
     g = w[:ngroups * 3].reshape(-1, 3)
     w0, w1, w2 = g[:, 0], g[:, 1], g[:, 2]
-    v = np.empty((ngroups, 16), np.uint32)
+    v = scratch("wire.unpack6v", ngroups * 16,
+                np.uint32).reshape(ngroups, 16)
     v[:, 0] = w0
     v[:, 1] = w0 >> 6
     v[:, 2] = w0 >> 12

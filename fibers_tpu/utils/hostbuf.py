@@ -1,0 +1,48 @@
+"""Reusable host scratch buffers for transient decode/pack stages.
+
+On this class of host (single-core VM, no transparent huge pages,
+measured 2026-08-18) first-touching freshly mmap'd pages runs at
+~0.1 GB/s — 20x slower than warm memory — and numpy returns >128 KB
+allocations to the OS on free, so every per-chunk `np.empty` in the
+streamline decode path pays the full fault cost again.  At the 1M-seed
+benchmark scale that was ~95% of the "decode+trk" stage (measured:
+98M-point fused decode 7.1 s cold vs 0.4 s warm into the same buffer).
+
+`scratch(tag, n, dtype)` keeps ONE buffer per (tag, dtype), grown
+geometrically, and returns a length-n view — callers must treat the
+contents as garbage on entry and must not hold the view across another
+scratch() call with the same tag.  Use ONLY for buffers that die before
+the next call (wire decode staging, record packing); never for arrays
+that escape into results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["scratch"]
+
+_pool: dict = {}
+
+
+def scratch(tag: str, n: int, dtype) -> np.ndarray:
+    """A length-`n` 1-D array of `dtype`, reused across calls per
+    (tag, dtype).  Contents are garbage; the view is only valid until
+    the next scratch() call with the same key."""
+    dt = np.dtype(dtype)
+    key = (tag, dt)
+    buf = _pool.get(key)
+    if buf is None or buf.size < n:
+        # grow with headroom so a slightly-larger next chunk doesn't
+        # re-fault; the old buffer is dropped (its pages go back to the
+        # OS) only on growth
+        cap = max(n, int(1.25 * n) if buf is None else
+                  max(int(1.25 * n), buf.size))
+        buf = np.empty(cap, dt)
+        _pool[key] = buf
+    return buf[:n]
+
+
+def _reset() -> None:
+    """Test hook: drop every pooled buffer."""
+    _pool.clear()

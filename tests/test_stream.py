@@ -800,3 +800,74 @@ class TestDevicePeaksHandoff:
         n_d, p_d = self._tract_arrays(dev)
         assert n_d == n_h and n_h > 0
         np.testing.assert_array_equal(p_d, p_h)
+
+
+class TestHostScratchPool:
+    def test_scratch_reuses_and_grows(self):
+        import fibers_tpu.utils.hostbuf as hb
+
+        hb._reset()
+        a = hb.scratch("t", 100, np.float32)
+        base_a = a.base if a.base is not None else a
+        b = hb.scratch("t", 80, np.float32)
+        base_b = b.base if b.base is not None else b
+        assert base_a is base_b            # same pooled buffer
+        assert len(b) == 80
+        c = hb.scratch("t", 10_000, np.float32)
+        assert len(c) == 10_000            # grew
+        d = hb.scratch("t", 100, np.int8)  # dtype keys separately
+        assert d.dtype == np.int8
+        hb._reset()
+
+    def test_sink_fused_appends_share_one_buffer(self, tmp_path):
+        """Consecutive fused sink appends must not corrupt each other
+        despite sharing the pooled record buffer (written to the file
+        before the next chunk reuses it)."""
+        import fibers_tpu as ft
+        from fibers_tpu.io.trk import Tract, TrkSink
+        from fibers_tpu import native
+        if native.lib() is None:
+            import pytest
+            pytest.skip("no native lib")
+
+        rng = np.random.default_rng(3)
+        ref = ft.MRI(vol=np.zeros((10, 10, 10), np.float32))
+        ref.vox2ras0 = np.eye(4, dtype=np.float32)
+        ref.volsize = np.array([10, 10, 10])
+        ref.width, ref.height, ref.depth = 10, 10, 10
+        ref.set_geometry()
+        tr = Tract.from_ref(ref)
+        qscale = 62.0
+        chunks = []
+        for _ in range(3):
+            nl = 5
+            npts = rng.integers(2, 9, nl).astype(np.int32)
+            total = int(npts.sum())
+            deltas = rng.integers(-31, 32, total * 3).astype(np.int8)
+            b = (deltas.astype(np.uint32) + 32) & 63
+            pad = (-len(b)) % 16
+            b = np.concatenate([b, np.zeros(pad, np.uint32)])
+            g = b.reshape(-1, 16).T
+            w0 = (g[0] | (g[1] << 6) | (g[2] << 12) | (g[3] << 18)
+                  | (g[4] << 24) | ((g[5] & 3) << 30))
+            w1 = ((g[5] >> 2) | (g[6] << 4) | (g[7] << 10) | (g[8] << 16)
+                  | (g[9] << 22) | ((g[10] & 15) << 28))
+            w2 = ((g[10] >> 4) | (g[11] << 2) | (g[12] << 8)
+                  | (g[13] << 14) | (g[14] << 20) | (g[15] << 26))
+            words = np.stack([w0, w1, w2], 1).reshape(-1).astype(np.uint32)
+            anch = (rng.random((nl, 3)) * 5).astype(np.float32)
+            chunks.append((words, npts, anch, deltas))
+
+        p = str(tmp_path / "pool.trk")
+        with TrkSink(p, tr, 15) as sink:
+            for words, npts, anch, _ in chunks:
+                assert sink.append_deltas6(words, npts, anch, qscale)
+        back = ft.trk_read(p)
+        assert back.n_count == 15
+        # check the LAST chunk's first line against a direct decode
+        words, npts, anch, deltas = chunks[-1]
+        cum = np.cumsum(deltas[:npts[0] * 3].reshape(-1, 3)
+                        .astype(np.float64), axis=0)
+        want = anch[0] + cum / qscale
+        got = np.asarray(back.xyz[10]).T
+        np.testing.assert_allclose(got, want, atol=1e-4)
