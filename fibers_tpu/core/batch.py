@@ -105,38 +105,46 @@ def _quantize_rows(part: np.ndarray, scale: float,
 
 
 def _gather_rows(flat: np.ndarray, take: np.ndarray, quantize,
-                 scale: float) -> np.ndarray:
+                 scale: float, out: np.ndarray = None) -> np.ndarray:
     """flat[take] as quantized (u16/u8) or float32 rows, in ONE pass via
     the native kernel when available.  The numpy expression spends ~5
     full-size passes (fancy-index copy, astype, multiply, clip, astype);
     on 1-2 core hosts those sit on the critical path ahead of every
-    upload, ~5-10 s at HCP scale."""
+    upload, ~5-10 s at HCP scale.  `out`: optional preallocated [n, nvol]
+    destination (pooled slabs — a fresh allocation per slab pays the
+    ~0.1 GB/s first-touch fault cost, see utils.hostbuf)."""
     from ..native import (as_f32_ptr, as_i64_ptr, as_u8_ptr, as_u16_ptr,
                           lib)
 
     l = lib()
+    n, nvol = len(take), flat.shape[1]
+    dt = {"u16": np.uint16, "u8": np.uint8}.get(quantize, np.float32)
+    if out is not None and (out.shape != (n, nvol) or out.dtype != dt):
+        out = None
     if (l is not None and flat.dtype == np.float32
             and flat.flags["C_CONTIGUOUS"] and flat.ndim == 2):
-        n, nvol = len(take), flat.shape[1]
         take = np.ascontiguousarray(take, np.int64)
+        if out is None:
+            out = np.empty((n, nvol), dt)
         if quantize == "u16":
-            out = np.empty((n, nvol), np.uint16)
             l.gather_quant_u16(as_f32_ptr(flat), as_i64_ptr(take),
                                n, nvol, np.float32(1.0 / scale),
                                as_u16_ptr(out))
         elif quantize == "u8":
-            out = np.empty((n, nvol), np.uint8)
             l.gather_quant_u8(as_f32_ptr(flat), as_i64_ptr(take),
                               n, nvol, np.float32(1.0 / scale),
                               as_u8_ptr(out))
         else:
-            out = np.empty((n, nvol), np.float32)
             l.gather_rows_f32(as_f32_ptr(flat), as_i64_ptr(take),
                               n, nvol, as_f32_ptr(out))
         return out
     part = flat[take].astype(np.float32, copy=False)
-    return _quantize_rows(part, scale, quantize) if quantize else \
+    res = _quantize_rows(part, scale, quantize) if quantize else \
         np.ascontiguousarray(part)
+    if out is not None:
+        out[...] = res
+        return out
+    return res
 
 
 def _dq_kernel(x, scale):
@@ -212,10 +220,18 @@ def prepare_batch(dwi, mask, mesh=None, wire: str = "auto") -> VoxelBatch:
     # wire time.
     with prof("batch.gather_upload"):
         from ..ops.transfer import sync, to_device_rows
+        from ..utils.hostbuf import pool_upload_slabs, scratch
+
+        slab_dt = {"u16": np.uint16, "u8": np.uint8}.get(quantize,
+                                                         np.float32)
+        pool_ok = pool_upload_slabs()
 
         def produce(lo, hi):
+            n = max(0, min(hi, len(idx)) - lo)
+            out = scratch(f"upload.batch.{lo}", n * nvol,
+                          slab_dt).reshape(n, nvol) if pool_ok else None
             part = _gather_rows(flat, idx[lo:min(hi, len(idx))],
-                                quantize, scale)
+                                quantize, scale, out=out)
             if hi > len(idx):
                 part = pad_rows(part, hi - lo)
             return part

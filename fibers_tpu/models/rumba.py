@@ -693,15 +693,25 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             ib0_i = np.ascontiguousarray(np.flatnonzero(ib0), np.int32)
             idwi_i = np.ascontiguousarray(np.flatnonzero(~ib0), np.int32)
 
+            from ..utils.hostbuf import pool_upload_slabs, scratch
+            pool_ok = pool_upload_slabs()
+
             def produce(lo, hi):
                 take = idx[lo:min(hi, nmask)]
                 if native_ok:
                     # one fused pass: gather + b0 normalize + quantize
                     # (the numpy expression below is ~6 full-size passes
-                    # of host memory ahead of every upload slab)
+                    # of host memory ahead of every upload slab); pooled
+                    # slab: fresh allocations fault at ~0.1 GB/s on the
+                    # bench host (utils.hostbuf)
                     take = np.ascontiguousarray(take, np.int64)
-                    sig = np.empty((len(take), len(idwi_i) + 1),
-                                   np.uint16)
+                    cols = len(idwi_i) + 1
+                    if pool_ok:
+                        sig = scratch(f"upload.rumba.{lo}",
+                                      len(take) * cols,
+                                      np.uint16).reshape(len(take), cols)
+                    else:
+                        sig = np.empty((len(take), cols), np.uint16)
                     nlib.rumba_signal_u16(
                         as_f32_ptr(flat), as_i64_ptr(take), len(take),
                         flat.shape[1], as_i32_ptr(ib0_i), len(ib0_i),

@@ -29,6 +29,8 @@ def scratch(tag: str, n: int, dtype) -> np.ndarray:
     """A length-`n` 1-D array of `dtype`, reused across calls per
     (tag, dtype).  Contents are garbage; the view is only valid until
     the next scratch() call with the same key."""
+    if n < 0:
+        raise ValueError(f"scratch size must be >= 0, got {n}")
     dt = np.dtype(dtype)
     key = (tag, dt)
     buf = _pool.get(key)
@@ -41,6 +43,21 @@ def scratch(tag: str, n: int, dtype) -> np.ndarray:
         buf = np.empty(cap, dt)
         _pool[key] = buf
     return buf[:n]
+
+
+def pool_upload_slabs() -> bool:
+    """Whether host->device producer slabs should come from the pool.
+
+    Only on <=2-core hosts: there ops.transfer.to_device_rows produces
+    every slab up front and hedges re-UPLOAD the held buffer without
+    re-producing, so a per-span pooled slab is never rewritten while a
+    transfer might still read it.  On bigger hosts producers run
+    concurrently and a stalled-upload hedge re-produces the same span in
+    parallel with the original transfer — pooled reuse would corrupt the
+    bytes on the wire."""
+    import os
+
+    return (os.cpu_count() or 1) <= 2
 
 
 def _reset() -> None:
