@@ -272,9 +272,16 @@ def to_device(arr: np.ndarray):
     return jnp.concatenate(devs, axis=0)
 
 
-def to_host(x, n_lead=None) -> np.ndarray:
+def to_host(x, n_lead=None, scratch_tag: str = None) -> np.ndarray:
     """Fetch a device array to host: flatten on device, fetch 1-D chunks
     in parallel, reshape on host.
+
+    `scratch_tag`: assemble the result in a pooled scratch buffer
+    (utils.hostbuf) instead of a fresh allocation — ONLY for callers
+    whose result dies before the tag's next use (e.g. the streamline
+    wire buffers, decoded then dropped); a fresh ~100 MB-scale buffer
+    pays a ~0.1 GB/s first-touch fault cost under the busy-polled wire
+    on the benchmark host.
 
     The device-side flatten is load-bearing, not cosmetic: computed TPU
     arrays live in tiled layouts (minor dims padded to the 8x128 tile), and
@@ -330,7 +337,11 @@ def to_host(x, n_lead=None) -> np.ndarray:
     futs = [_get_pool().submit(np.asarray, c) for c in chunks]
     parts = list(_hedged_results(futs, chunks))
 
-    out = np.empty(n_need, x.dtype)
+    if scratch_tag is not None:
+        from ..utils.hostbuf import scratch
+        out = scratch(scratch_tag, n_need, x.dtype)
+    else:
+        out = np.empty(n_need, x.dtype)
     for i, p in zip(starts, parts):
         m = min(elems, n_need - i)
         if m > 0:

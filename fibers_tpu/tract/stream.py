@@ -433,18 +433,22 @@ def _compact_chunk(fwd_out, bwd_out, fwd_n, bwd_n, fwd_n_dev, bwd_n_dev,
     return out, sout, total, npts.astype(np.int32), keep
 
 
-def _fetch_wire(buf, total, mode):
-    """Fetch a flat compacted wire buffer (raw, undecoded)."""
+def _fetch_wire(buf, total, mode, tag=None):
+    """Fetch a flat compacted wire buffer (raw, undecoded).  `tag`:
+    per-chunk pooled destination (utils.hostbuf) — the raw wire bytes
+    are decoded and dropped before the same tag is fetched again, and a
+    fresh ~100 MB buffer faults at ~0.1 GB/s under the busy-polled
+    wire on the benchmark host."""
     from ..ops.transfer import to_host
 
     with prof("stream.points_fetch"):
         if mode == "i8":
             nwords = (total * 3 + 3) // 4
-            return to_host(buf, n_lead=nwords)
+            return to_host(buf, n_lead=nwords, scratch_tag=tag)
         if mode == "i6":
             nwords = ((total * 3 + 15) // 16) * 3
-            return to_host(buf, n_lead=nwords)
-        return to_host(buf, n_lead=total * 3)
+            return to_host(buf, n_lead=nwords, scratch_tag=tag)
+        return to_host(buf, n_lead=total * 3, scratch_tag=tag)
 
 
 def _unpack6(raw, nvals):
@@ -631,12 +635,15 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
     if has_scalars:
         tr.n_scalars = 1
 
-    def fetch_pair(buf, sbuf, total):
-        raw = _fetch_wire(buf, total, mode)
+    def fetch_pair(buf, sbuf, total, i):
+        # per-chunk pooled destinations: the raw wire bytes are decoded
+        # and dropped before the same ordinal is fetched again
+        raw = _fetch_wire(buf, total, mode, tag=f"wire.chunk.{i}")
         sraw = None
         if sbuf is not None:
             with prof("stream.scalars_fetch"):
-                sraw = to_host(sbuf, n_lead=(total + 3) // 4)
+                sraw = to_host(sbuf, n_lead=(total + 3) // 4,
+                               scratch_tag=f"wire.scal.{i}")
         return raw, sraw
 
     def fetched():
@@ -652,8 +659,9 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
         state behind it."""
         if overlap:
             with ThreadPoolExecutor(1) as pool:
-                futs = [pool.submit(fetch_pair, buf, sbuf, total)
-                        for buf, sbuf, total, _n, _a in live]
+                futs = [pool.submit(fetch_pair, buf, sbuf, total, i)
+                        for i, (buf, sbuf, total, _n, _a)
+                        in enumerate(live)]
                 for i, fut in enumerate(futs):
                     res = fut.result()
                     live[i] = (None, None) + live[i][2:]
@@ -661,7 +669,7 @@ def _drive_wire(launch, starts, cfg, mode, qscale, tr, mesh=None,
         else:
             out = []
             for i, (buf, sbuf, total, _n, _a) in enumerate(live):
-                out.append(fetch_pair(buf, sbuf, total))
+                out.append(fetch_pair(buf, sbuf, total, i))
                 live[i] = (None, None) + live[i][2:]
             yield from out
 
