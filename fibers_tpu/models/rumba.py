@@ -587,7 +587,7 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
               checkpoint_every: int = 0,
               on_mismatch: str = "raise",
               precision: str = "high", batch=None, mesh=None,
-              tv_bf16: bool = False,
+              tv_bf16: bool = False, signal_wire: str = "u12",
               abort_s_per_iter: float = None) -> RUMBASD:
     """RUMBA-SD reconstruction of DWIs.  (reference: src/rusd.jl:419-636)
 
@@ -617,6 +617,13 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     TV stencil volumes in bfloat16 (~half the HBM traffic of the
     dominant term; the R-L estimate itself stays float32).
 
+    `signal_wire`: host->device encoding of the normalized signal when
+    rumba_rec builds it itself (no `batch`) on accelerator backends —
+    "u12" (default: packed 12-bit, error 1.3e-4 on the [0,1] signal,
+    ~100x below the Rician noise the fit estimates), "u16" (7.7e-6), or
+    "f32" (exact).  Ignored with `batch` (the batch's own wire applies)
+    and on CPU.
+
     `abort_s_per_iter`: when set, the wall-clock pace of every ~100
     iterations is measured (one scalar sync per segment) and a
     `PaceAbortError` is raised when any SEGMENT exceeds this many
@@ -625,6 +632,9 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
     within ~100 iterations of the collapse rather than running to the
     end.  Leave None (default) for production fits.
     """
+    if signal_wire not in ("u12", "u16", "f32"):
+        raise ValueError(f"signal_wire must be u12/u16/f32, "
+                         f"got {signal_wire!r}")
     if dwi.bval is None or len(dwi.bval) == 0:
         raise ValueError("Missing b-value table from input DWI structure")
     if dwi.bvec is None or np.asarray(dwi.bvec).size == 0:
@@ -678,23 +688,29 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
             vol = np.asarray(dwi.vol)
             flat = vol.reshape(-1, vol.shape[3])
             # The normalized signal is clipped to [0, 1]: on accelerator
-            # backends it rides the wire as uint16 (scale 1/65535, abs
-            # error <= 7.7e-6 — below the fit's own float32 noise) at
-            # half the bytes of float32; the per-slab producer overlaps
-            # the host gather/normalize/quantize with the upload.
-            quantize = jax.default_backend() != "cpu"
+            # backends it rides the wire 12-bit-packed by default (scale
+            # 1/4095, abs error <= 1.3e-4 — ~100x below the Rician noise
+            # the fit estimates at clinical SNR) at 37.5% of float32's
+            # bytes; signal_wire="u16" (error <= 7.7e-6) or "f32" for
+            # tighter wires.  The per-slab producer overlaps the host
+            # gather/normalize/quantize with the upload.
+            quantize = (signal_wire if jax.default_backend() != "cpu"
+                        and signal_wire != "f32" else None)
 
             from ..native import (as_f32_ptr, as_i32_ptr, as_i64_ptr,
-                                  as_u16_ptr, lib)
+                                  as_u16_ptr, as_u8_ptr, lib)
             nlib = lib()
-            native_ok = (quantize and nlib is not None
+            native_ok = (quantize is not None and nlib is not None
                          and flat.dtype == np.float32
                          and flat.flags["C_CONTIGUOUS"])
             ib0_i = np.ascontiguousarray(np.flatnonzero(ib0), np.int32)
             idwi_i = np.ascontiguousarray(np.flatnonzero(~ib0), np.int32)
 
+            from ..core.batch import u12_row_bytes
             from ..utils.hostbuf import pool_upload_slabs, scratch
             pool_ok = pool_upload_slabs()
+            ncol = 1 + int((~ib0).sum())
+            rowb = u12_row_bytes(ncol)
 
             def produce(lo, hi):
                 take = idx[lo:min(hi, nmask)]
@@ -705,13 +721,21 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                     # slab: fresh allocations fault at ~0.1 GB/s on the
                     # bench host (utils.hostbuf)
                     take = np.ascontiguousarray(take, np.int64)
-                    cols = len(idwi_i) + 1
-                    if pool_ok:
-                        sig = scratch(f"upload.rumba.{lo}",
-                                      len(take) * cols,
-                                      np.uint16).reshape(len(take), cols)
-                    else:
-                        sig = np.empty((len(take), cols), np.uint16)
+                    if quantize == "u12":
+                        sig = (scratch(f"upload.rumba.{lo}",
+                                       len(take) * rowb, np.uint8)
+                               .reshape(len(take), rowb) if pool_ok else
+                               np.empty((len(take), rowb), np.uint8))
+                        nlib.rumba_signal_u12(
+                            as_f32_ptr(flat), as_i64_ptr(take),
+                            len(take), flat.shape[1], as_i32_ptr(ib0_i),
+                            len(ib0_i), as_i32_ptr(idwi_i), len(idwi_i),
+                            as_u8_ptr(sig))
+                        return sig
+                    sig = (scratch(f"upload.rumba.{lo}",
+                                   len(take) * ncol, np.uint16)
+                           .reshape(len(take), ncol) if pool_ok else
+                           np.empty((len(take), ncol), np.uint16))
                     nlib.rumba_signal_u16(
                         as_f32_ptr(flat), as_i64_ptr(take), len(take),
                         flat.shape[1], as_i32_ptr(ib0_i), len(ib0_i),
@@ -727,15 +751,21 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                 sig = np.concatenate(
                     [(b0_mean > 0).astype(np.float32)[:, None], dwis],
                     axis=1)
-                if quantize:
+                if quantize == "u12":
+                    from ..core.batch import _quantize_pack_u12
+                    sig = _quantize_pack_u12(sig, 1.0 / 4095.0)
+                elif quantize == "u16":
                     sig = (sig * np.float32(65535.0)
                            + np.float32(0.5)).astype(np.uint16)
                 return sig
 
-            ncol = 1 + int((~ib0).sum())
-            dev = to_device_rows(produce, nmask,
-                                 ncol * (2 if quantize else 4))
-            if quantize:
+            dev = to_device_rows(
+                produce, nmask,
+                {"u16": ncol * 2, "u12": rowb}.get(quantize, ncol * 4))
+            if quantize == "u12":
+                from ..core.batch import _dequant12
+                signal_j = _dequant12(dev, 1.0 / 4095.0, ncol)
+            elif quantize == "u16":
                 from ..core.batch import _dequant
                 signal_j = _dequant(dev, 1.0 / 65535.0)
             else:

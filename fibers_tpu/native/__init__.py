@@ -141,6 +141,14 @@ def lib():
         ]
         cdll.gather_quant_u8.restype = None
 
+        cdll.gather_quant_u12.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        cdll.gather_quant_u12.restype = None
+
         cdll.gather_rows_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64),
@@ -158,6 +166,16 @@ def lib():
             ctypes.POINTER(ctypes.c_uint16),
         ]
         cdll.rumba_signal_u16.restype = None
+
+        cdll.rumba_signal_u12.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        cdll.rumba_signal_u12.restype = None
 
         _lib = cdll
         return _lib

@@ -243,6 +243,38 @@ void gather_quant_u8(const float *flat, const int64_t *idx, int64_t n,
     }
 }
 
+/* 12-bit wire: gather + quantize + pack 2 values per 3 bytes, per row
+ * (odd nvol pads a zero field).  25% fewer upload bytes than u16 at
+ * absolute error <= max/8190 — still far below DWI fit noise
+ * (core/batch.py routes the device-side unpack). */
+void gather_quant_u12(const float *flat, const int64_t *idx, int64_t n,
+                      int64_t nvol, float inv_scale, uint8_t *out)
+{
+    int64_t rowb = ((nvol + 1) / 2) * 3;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        const float *src = flat + idx[i] * nvol;
+        uint8_t *dst = out + i * rowb;
+        for (int64_t v = 0; v < nvol; v += 2) {
+            float q0f = src[v] * inv_scale;
+            if (!(q0f > 0.0f)) q0f = 0.0f;
+            if (q0f > 4095.0f) q0f = 4095.0f;
+            uint32_t q0 = (uint32_t)(q0f + 0.5f);
+            uint32_t q1 = 0;
+            if (v + 1 < nvol) {
+                float q1f = src[v + 1] * inv_scale;
+                if (!(q1f > 0.0f)) q1f = 0.0f;
+                if (q1f > 4095.0f) q1f = 4095.0f;
+                q1 = (uint32_t)(q1f + 0.5f);
+            }
+            dst[0] = (uint8_t)(q0 & 0xFFu);
+            dst[1] = (uint8_t)((q0 >> 8) | ((q1 & 0xFu) << 4));
+            dst[2] = (uint8_t)(q1 >> 4);
+            dst += 3;
+        }
+    }
+}
+
 /* RUMBA-SD signal rows in one pass (models/rumba.py host producer): for
  * masked voxel row idx[i], average the b0 frames (negatives clipped),
  * emit the b0>0 flag as column 0 and the b0-normalized DWI frames
@@ -274,6 +306,55 @@ void rumba_signal_u16(const float *flat, const int64_t *idx, int64_t n,
             if (!isfinite(q)) q = 0.0f;
             if (q > 1.0f) q = 1.0f;
             dst[1 + j] = (uint16_t)(q * 65535.0f + 0.5f);
+        }
+    }
+}
+
+/* rumba_signal_u16's 12-bit counterpart: the same fused gather +
+ * b0-normalize, quantized to 4095 steps on [0,1] and packed 2 values
+ * per 3 bytes (25% fewer wire bytes; quantization ~100x below the
+ * Rician noise the fit estimates).  Row layout matches the u12 batch
+ * wire: ndwi+1 fields (b0 flag first), odd counts pad a zero field. */
+void rumba_signal_u12(const float *flat, const int64_t *idx, int64_t n,
+                      int64_t nvol, const int32_t *ib0, int64_t nb0,
+                      const int32_t *idwi, int64_t ndwi, uint8_t *out)
+{
+    int64_t ncol = ndwi + 1;
+    int64_t rowb = ((ncol + 1) / 2) * 3;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        const float *src = flat + idx[i] * nvol;
+        uint8_t *dst = out + i * rowb;
+        double acc = 0.0;
+        for (int64_t j = 0; j < nb0; j++) {
+            float v = src[ib0[j]];
+            if (v > 0.0f) acc += v;
+        }
+        float b0 = (float)(acc / (double)nb0);
+        uint32_t pend = b0 > 0.0f ? 4095u : 0u;   /* field 0: b0 flag */
+        int have = 1;
+        for (int64_t j = 0; j < ndwi; j++) {
+            float v = src[idwi[j]];
+            if (!(v > 0.0f)) v = 0.0f;
+            float q = b0 > 0.0f ? v / b0 : 0.0f;
+            if (!isfinite(q)) q = 0.0f;
+            if (q > 1.0f) q = 1.0f;
+            uint32_t qi = (uint32_t)(q * 4095.0f + 0.5f);
+            if (have) {
+                dst[0] = (uint8_t)(pend & 0xFFu);
+                dst[1] = (uint8_t)((pend >> 8) | ((qi & 0xFu) << 4));
+                dst[2] = (uint8_t)(qi >> 4);
+                dst += 3;
+                have = 0;
+            } else {
+                pend = qi;
+                have = 1;
+            }
+        }
+        if (have) {                               /* odd ncol: pad 0 */
+            dst[0] = (uint8_t)(pend & 0xFFu);
+            dst[1] = (uint8_t)(pend >> 8);
+            dst[2] = 0;
         }
     }
 }

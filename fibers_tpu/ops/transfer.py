@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 __all__ = ["to_host", "to_device", "to_device_rows", "sync",
-           "quant_u16_scale", "quant_u8_scale"]
+           "quant_u16_scale", "quant_u8_scale", "quant_u12_scale"]
 
 
 def quant_u16_scale(arr_max, arr_min=0.0) -> float:
@@ -44,6 +44,17 @@ def quant_u8_scale(arr_max, arr_min=0.0) -> float:
     if not np.isfinite(m) or m <= 0 or float(arr_min) < 0:
         return 0.0
     return m / 255.0
+
+
+def quant_u12_scale(arr_max, arr_min=0.0) -> float:
+    """12-bit variant of `quant_u16_scale` (packed 2 values per 3 wire
+    bytes): absolute error <= max/8190, 16x u16's but still far below
+    the fits' own noise at scanner dynamic ranges, for 25% fewer upload
+    bytes."""
+    m = float(arr_max)
+    if not np.isfinite(m) or m <= 0 or float(arr_min) < 0:
+        return 0.0
+    return m / 4095.0
 
 
 def sync(x):

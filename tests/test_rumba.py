@@ -328,3 +328,40 @@ def test_pace_abort_gate():
     ref = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=60)
     np.testing.assert_array_equal(np.asarray(ok.gfa.vol),
                                   np.asarray(ref.gfa.vol))
+
+
+class TestSignalWire:
+    def test_u12_signal_grid_robustness(self):
+        """The default u12 signal wire's quantization (1/4095 on the
+        normalized [0,1] signal) must not move the fit: emulate the
+        wire on CPU by re-synthesizing the DWI from the u12-gridded
+        normalized signal (the wire itself only engages on accelerator
+        backends) and compare 40-iteration results."""
+        import numpy as np
+        from phantom import make_phantom
+        dwi, mask, _, _ = make_phantom(shape=(6, 6, 5), ndir=30)
+        base = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=40)
+
+        v = np.asarray(dwi.vol).astype(np.float64)
+        bval = np.asarray(dwi.bval)
+        ib0 = bval == bval.min()
+        b0 = np.maximum(v[..., ib0], 0).mean(-1, keepdims=True)
+        sig = np.clip(np.where(b0 > 0, v / b0, 0), 0, 1)
+        v2 = np.where(b0 > 0, np.round(sig * 4095) / 4095 * b0, 0)
+        v2[..., ib0] = v[..., ib0]
+        dwi2 = ft.MRI(vol=v2.astype(np.float32))
+        dwi2.vox2ras0 = dwi.vox2ras0
+        dwi2.bval, dwi2.bvec = dwi.bval, dwi.bvec
+        pert = ft.rumba_rec(dwi2, mask, ft.sphere_362, niter=40)
+
+        d_gfa = np.abs(np.asarray(pert.gfa.vol)
+                       - np.asarray(base.gfa.vol)).max()
+        assert d_gfa < 1e-3, d_gfa
+        assert abs(pert.snr_mean - base.snr_mean) < 0.05
+        pk = np.asarray(base.peak[0].vol)
+        pk2 = np.asarray(pert.peak[0].vol)
+        n = np.linalg.norm(pk, axis=-1) * np.linalg.norm(pk2, axis=-1)
+        ok = n > 0
+        cosang = np.abs((pk * pk2).sum(-1)[ok]) / n[ok]
+        ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+        assert ang.max() < 0.2, ang.max()

@@ -288,3 +288,137 @@ def test_native_rumba_signal_matches_numpy(rng):
         [(b0_mean > 0).astype(np.float32)[:, None], dwis], axis=1)
     want = (sig * np.float32(65535.0) + np.float32(0.5)).astype(np.uint16)
     assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+
+def test_native_rumba_signal_u12_matches_numpy(rng):
+    """rumba_signal_u12 (fused gather + b0-normalize + 12-bit pack) vs
+    the numpy normalize + _quantize_pack_u12 composition — equal to
+    within one grid unit on the pre-pack values (b0-mean accumulation
+    order differs in the last ulp; a one-unit flip changes the packed
+    bytes, so compare the UNPACKED fields)."""
+    import pytest
+    from fibers_tpu.core.batch import _quantize_pack_u12, u12_row_bytes
+    from fibers_tpu.native import (as_f32_ptr, as_i32_ptr, as_i64_ptr,
+                                   as_u8_ptr, lib)
+
+    if lib() is None:
+        pytest.skip("no C compiler")
+    nvox, nvol = 400, 33
+    flat = np.abs(rng.standard_normal((nvox, nvol))).astype(np.float32)
+    flat *= 80.0
+    flat[7] = 0.0
+    ib0 = np.zeros(nvol, bool)
+    ib0[:4] = True
+    idx = np.ascontiguousarray(
+        rng.choice(nvox, 150, replace=False).astype(np.int64))
+    ib0_i = np.ascontiguousarray(np.flatnonzero(ib0), np.int32)
+    idwi_i = np.ascontiguousarray(np.flatnonzero(~ib0), np.int32)
+    ncol = len(idwi_i) + 1
+    got = np.empty((len(idx), u12_row_bytes(ncol)), np.uint8)
+    lib().rumba_signal_u12(as_f32_ptr(flat), as_i64_ptr(idx), len(idx),
+                           nvol, as_i32_ptr(ib0_i), len(ib0_i),
+                           as_i32_ptr(idwi_i), len(idwi_i),
+                           as_u8_ptr(got))
+
+    rows = flat[idx]
+    b0_mean = np.maximum(rows[:, ib0], 0).mean(axis=1)
+    dwis = np.maximum(rows[:, ~ib0], 0).astype(np.float32)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dwis /= b0_mean[:, None].astype(np.float32)
+    dwis[~np.isfinite(dwis)] = 0
+    np.clip(dwis, 0.0, 1.0, out=dwis)
+    sig = np.concatenate(
+        [(b0_mean > 0).astype(np.float32)[:, None], dwis], axis=1)
+    want = _quantize_pack_u12(sig, 1.0 / 4095.0)
+
+    def unpack(b):
+        b = b.astype(np.uint32)
+        v0 = b[:, 0::3] | ((b[:, 1::3] & 0xF) << 8)
+        v1 = (b[:, 1::3] >> 4) | (b[:, 2::3] << 4)
+        return np.stack([v0, v1], -1).reshape(len(b), -1)[:, :ncol]
+
+    diff = np.abs(unpack(got).astype(np.int64)
+                  - unpack(want).astype(np.int64)).max()
+    assert diff <= 1
+
+
+class TestU12Wire:
+    def test_u12_batch_error_bound_and_native_parity(self):
+        from phantom import make_phantom
+        import fibers_tpu as ft
+        from fibers_tpu.core.batch import (_gather_rows,
+                                           _quantize_pack_u12)
+        from fibers_tpu import native
+
+        dwi, mask, _, _ = make_phantom(shape=(8, 8, 6), ndir=31)
+        b_f32 = ft.prepare_batch(dwi, mask, wire="f32")
+        b_u12 = ft.prepare_batch(dwi, mask, wire="u12")
+        assert b_u12.signals.dtype == jnp.float32
+        assert b_u12.signals.shape == b_f32.signals.shape
+        scale = float(np.asarray(dwi.vol).max()) / 4095.0
+        err = np.abs(np.asarray(b_u12.signals)
+                     - np.asarray(b_f32.signals)).max()
+        assert err <= 0.501 * scale + 1e-4
+
+        if native.lib() is not None:
+            vol = np.asarray(dwi.vol)
+            flat = np.ascontiguousarray(
+                vol.reshape(-1, vol.shape[3]), np.float32)
+            take = np.flatnonzero(np.asarray(mask.vol).reshape(-1) > 0)
+            nat = _gather_rows(flat, take, "u12", scale)
+            ref = _quantize_pack_u12(flat[take].astype(np.float32),
+                                     scale)
+            np.testing.assert_array_equal(nat, ref)
+
+    def test_u12_fit_parity(self):
+        """Structured-phantom fidelity: FA within 5e-4 and GQI peak
+        directions within 0.2 degrees of the exact wire."""
+        from phantom import make_phantom
+        import fibers_tpu as ft
+
+        dwi, mask, _, _ = make_phantom(shape=(10, 10, 8), ndir=30)
+        b_f32 = ft.prepare_batch(dwi, mask, wire="f32")
+        b_u12 = ft.prepare_batch(dwi, mask, wire="u12")
+
+        dti_f = ft.dti_fit(dwi, mask, batch=b_f32)
+        dti_q = ft.dti_fit(dwi, mask, batch=b_u12)
+        np.testing.assert_allclose(dti_q.fa.vol, dti_f.fa.vol, atol=5e-4)
+
+        g_f = ft.gqi_rec(dwi, mask, ft.sphere_362, batch=b_f32)
+        g_q = ft.gqi_rec(dwi, mask, ft.sphere_362, batch=b_u12)
+        p, q = np.asarray(g_f.peak[0].vol), np.asarray(g_q.peak[0].vol)
+        nrm = np.linalg.norm(p, axis=-1) * np.linalg.norm(q, axis=-1)
+        live = nrm > 0
+        cosang = np.abs((p * q).sum(-1)[live]) / nrm[live]
+        ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+        assert ang.max() < 0.2
+
+    def test_u12_odd_nvol(self, rng):
+        """Odd frame counts pad one zero field per packed row."""
+        import fibers_tpu as ft
+        from fibers_tpu.core.batch import (_dequant12,
+                                           _quantize_pack_u12)
+
+        part = (rng.random((40, 9)) * 500).astype(np.float32)
+        scale = float(part.max()) / 4095.0
+        packed = _quantize_pack_u12(part, scale)
+        assert packed.shape == (40, 15)
+        dec = np.asarray(_dequant12(jnp.asarray(packed), scale, 9))
+        assert dec.shape == (40, 9)
+        assert np.abs(dec - part).max() <= 0.501 * scale + 1e-4
+
+    def test_rumba_signal_wire_values(self):
+        from phantom import make_phantom
+        import fibers_tpu as ft
+        import pytest
+
+        dwi, mask, _, _ = make_phantom(shape=(3, 3, 3), ndir=30)
+        with pytest.raises(ValueError, match="signal_wire"):
+            ft.rumba_rec(dwi, mask, ft.sphere_362, niter=2,
+                         signal_wire="u4")
+        # on CPU every wire value falls back to exact f32: identical fits
+        a = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4)
+        b = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4,
+                         signal_wire="f32")
+        np.testing.assert_array_equal(np.asarray(a.fodf.vol),
+                                      np.asarray(b.fodf.vol))
