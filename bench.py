@@ -227,8 +227,9 @@ def main():
         t0 = time.time()
         # u12 wire: 25% fewer upload bytes than the default u16; FA
         # error vs the exact wire ~1e-4 on structured data (tested),
-        # far inside the float-tolerance target.  CPU runs fall back
-        # to exact f32 inside prepare_batch regardless.
+        # far inside the float-tolerance target.  NB an EXPLICIT "u12"
+        # quantizes on every backend (only auto modes fall back on
+        # CPU), so pick f32 for CPU runs here ourselves.
         wire = "f32" if jax.default_backend() == "cpu" else "u12"
         batch = ft.prepare_batch(dwi, mask, wire=wire)
         dti = ft.dti_fit(dwi, mask, batch=batch)

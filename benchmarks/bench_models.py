@@ -178,20 +178,25 @@ def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False,
         warm_stream_async(shape, padded_size(nmask), nvec=5,
                           chunk=1 << 17, wire="i6")
 
-    # warm the iteration block for this shape bucket (fused-TV variant
-    # on TPU) so a persistent-cache miss compiles under the signal
-    # upload instead of inside the timed fit
+    # warm the iteration block for this shape bucket so a persistent-
+    # cache miss compiles under the signal upload instead of inside the
+    # timed fit — warming the SAME static-arg bucket rumba_rec will
+    # pick: fused only when its full gate (mode, viability, Mosaic
+    # probe) passes, else the unfused bucket.  Running the probe here
+    # also moves its tiny compile outside the timed region.
     from fibers_tpu.models.rumba import _tv_bbox
     from fibers_tpu.ops.masked import mask_indices
+    from fibers_tpu.ops.pallas import tv_fused as _tvf
     from fibers_tpu.utils.warmup import warm_rumba_async
     idxm = mask_indices(maskm.vol)
     tvs3, _, _, _ = _tv_bbox(idxm, shape)
+    mode = os.environ.get("FIBERS_TV_FUSED", "auto")
+    fused_warm = (jax.default_backend() == "tpu" and not tv_bf16
+                  and mode in ("auto", "1")
+                  and _tvf.fused_viable(tvs3, len(idxm), 128)
+                  and _tvf.fused_probe_ok())
     warm_rumba_async(tvs3, 1 + nsh, ft.sphere_724.nvert_half + 2,
-                     len(idxm),
-                     fused=(jax.default_backend() == "tpu"
-                            and not tv_bf16
-                            and os.environ.get("FIBERS_TV_FUSED",
-                                               "auto") != "0"))
+                     len(idxm), fused=fused_warm)
 
     t0 = time.time()
     rum = ft.rumba_rec(dwi, maskm, ft.sphere_724, niter=niter,

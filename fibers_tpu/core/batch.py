@@ -289,7 +289,13 @@ def prepare_batch(dwi, mask, mesh=None, wire: str = "auto") -> VoxelBatch:
         slab_dt = {"u16": np.uint16, "u12": np.uint8,
                    "u8": np.uint8}.get(quantize, np.float32)
         ncol = u12_row_bytes(nvol) if quantize == "u12" else nvol
-        pool_ok = pool_upload_slabs()
+        # pool only when the native gather fills the slab in place —
+        # the numpy fallback computes fresh arrays and would pay the
+        # faults anyway PLUS a copy into the pooled slab
+        from ..native import lib as _nlib
+        pool_ok = (pool_upload_slabs() and _nlib() is not None
+                   and flat.dtype == np.float32
+                   and flat.flags["C_CONTIGUOUS"])
 
         def produce(lo, hi):
             n = max(0, min(hi, len(idx)) - lo)

@@ -40,10 +40,11 @@ def mri_read(infile: str, result_type: type = None,
     (reference: src/mri.jl:611-733 and src/mri.jl:2276-2311)
     """
     if result_type is not None:
-        if isinstance(result_type, (bool, int)):
+        if isinstance(result_type, bool):
             # pre-round-5 signature compatibility: mri_read(path, True)
-            # was a positional headeronly read
-            headeronly = bool(result_type)
+            # was a positional headeronly read (bool ONLY — any other
+            # non-type second argument is a caller error)
+            headeronly = result_type
         elif not isinstance(result_type, type):
             raise TypeError(
                 "mri_read's second argument must be a result-struct type "

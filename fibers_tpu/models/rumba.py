@@ -708,7 +708,9 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
 
             from ..core.batch import u12_row_bytes
             from ..utils.hostbuf import pool_upload_slabs, scratch
-            pool_ok = pool_upload_slabs()
+            # only the native fused producer fills slabs in place; the
+            # numpy fallback would pay the faults anyway plus a copy
+            pool_ok = pool_upload_slabs() and native_ok
             ncol = 1 + int((~ib0).sum())
             rowb = u12_row_bytes(ncol)
 

@@ -18,31 +18,60 @@ that escape into results.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 __all__ = ["scratch"]
 
-_pool: dict = {}
+_pool: dict = {}        # (tag, dtype) -> [buf, last-use tick]
+_tick = 0
+# total pooled bytes are bounded: past the cap the least-recently-used
+# tags are evicted (heterogeneous workloads in one process — different
+# wire modes, problem sizes — would otherwise pin one max-size buffer
+# per tag forever).  The default covers the benchmark worst case
+# (~2.7 GB of live pools) with headroom.
+_CAP_BYTES = int(float(os.environ.get("FIBERS_HOSTBUF_CAP_GB", 6)) * 2**30)
 
 
 def scratch(tag: str, n: int, dtype) -> np.ndarray:
     """A length-`n` 1-D array of `dtype`, reused across calls per
     (tag, dtype).  Contents are garbage; the view is only valid until
     the next scratch() call with the same key."""
+    global _tick
     if n < 0:
         raise ValueError(f"scratch size must be >= 0, got {n}")
     dt = np.dtype(dtype)
     key = (tag, dt)
-    buf = _pool.get(key)
-    if buf is None or buf.size < n:
+    _tick += 1
+    ent = _pool.get(key)
+    if ent is None or ent[0].size < n:
         # grow with headroom so a slightly-larger next chunk doesn't
         # re-fault; the old buffer is dropped (its pages go back to the
         # OS) only on growth
-        cap = max(n, int(1.25 * n) if buf is None else
-                  max(int(1.25 * n), buf.size))
-        buf = np.empty(cap, dt)
-        _pool[key] = buf
-    return buf[:n]
+        cap = max(n, int(1.25 * n) if ent is None else
+                  max(int(1.25 * n), ent[0].size))
+        ent = [np.empty(cap, dt), _tick]
+        _pool[key] = ent
+        _evict(keep=key)
+    else:
+        ent[1] = _tick
+    return ent[0][:n]
+
+
+def _evict(keep) -> None:
+    """Drop least-recently-used pool entries until under the byte cap
+    (never the entry just touched — its view is live in the caller)."""
+    total = sum(e[0].nbytes for e in _pool.values())
+    if total <= _CAP_BYTES:
+        return
+    for key, ent in sorted(_pool.items(), key=lambda kv: kv[1][1]):
+        if key == keep:
+            continue
+        total -= ent[0].nbytes
+        del _pool[key]
+        if total <= _CAP_BYTES:
+            return
 
 
 def pool_upload_slabs() -> bool:

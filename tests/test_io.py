@@ -394,6 +394,9 @@ class TestStructConvention:
     def test_two_arg_mri_read_rejects_non_type(self, tmp_path):
         with pytest.raises(TypeError, match="result-struct type"):
             ft.mri_read(str(tmp_path / "x"), "nope")
+        # ints are NOT silently treated as headeronly (only bool is)
+        with pytest.raises(TypeError, match="result-struct type"):
+            ft.mri_read(str(tmp_path / "x"), 42)
 
     def test_two_arg_mri_read_bool_is_headeronly(self, tmp_path, rng):
         """Pre-round-5 positional compatibility: mri_read(path, True)

@@ -44,11 +44,12 @@ def main():
         sys.exit(1)
     # persistent compile cache in the child too: a cold probe compile
     # (15-400 s) must not read as a wedged tunnel at the 45 s deadline
+    cache = os.environ.get("FIBERS_JAX_CACHE", "/tmp/fibers_jax_cache")
     p = subprocess.Popen(
         [_sys.executable, "-c",
          "import jax; "
          "jax.config.update('jax_compilation_cache_dir', "
-         "'/tmp/fibers_jax_cache'); "
+         f"{cache!r}); "
          "jax.config.update("
          "'jax_persistent_cache_min_compile_time_secs', 0.0); "
          "import jax.numpy as jnp; "
@@ -70,7 +71,7 @@ def main():
         sys.exit(1)
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/fibers_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
