@@ -871,3 +871,21 @@ class TestHostScratchPool:
         want = anch[0] + cum / qscale
         got = np.asarray(back.xyz[10]).T
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_scratch_lru_eviction_keeps_live_views_valid(self):
+        import fibers_tpu.utils.hostbuf as hb
+
+        hb._reset()
+        old_cap = hb._CAP_BYTES
+        try:
+            hb._CAP_BYTES = 1 << 20
+            a = hb.scratch("one", 200_000, np.float32)
+            a[:] = 7.0
+            hb.scratch("two", 200_000, np.float32)  # evicts "one"
+            assert ("one", np.dtype(np.float32)) not in hb._pool
+            assert (a == 7.0).all()      # live view refcount-protected
+            # the just-created entry is never evicted
+            assert ("two", np.dtype(np.float32)) in hb._pool
+        finally:
+            hb._CAP_BYTES = old_cap
+            hb._reset()
