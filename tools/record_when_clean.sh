@@ -91,6 +91,7 @@ PYEOF
 # caps bound total TPU time; pace-aborted config-4 attempts are cheap.
 # mfu's "value" is a table, not a number: existence is the target
 want_mfu()   { ! have mfu.json && [ "$(attempts mfu.json)" -lt 2 ]; }
+want_tvf()   { want tvf.json      70 3; }   # fused-TV ms/iter (VERDICT-4)
 want_rumba() { want rumba.json   140 8; }   # fused-TV rumba<=65 + chain
 want_e2e()   { want e2e.json      45 4; }
 want_dsi()   { want dsi.json      16 4; }
@@ -98,7 +99,8 @@ want_dsi()   { want dsi.json      16 4; }
 while :; do
     now=$(date +%s)
     [ $((now - START)) -gt "$DEADLINE_S" ] && break
-    if ! want_mfu && ! want_rumba && ! want_e2e && ! want_dsi
+    if ! want_mfu && ! want_tvf && ! want_rumba && ! want_e2e \
+        && ! want_dsi
     then break; fi
 
     w=$(timeout 600 python tools/weather.py 2>/dev/null | tail -1)
@@ -109,7 +111,9 @@ while :; do
     tvfast=0
     [ -n "$tv" ] && tvfast=$(awk "BEGIN{print ($tv < 45) ? 1 : 0}")
     if echo "$w" | grep -q '"clean": true'; then
-        if want_mfu; then                 # fastest first: ~2 min
+        if want_tvf; then                 # fastest + decides the fused
+            run_one tvf.json python benchmarks/bench_tv_fused.py
+        elif want_mfu; then               # kernel table: ~3 min
             run_one mfu.json python benchmarks/bench_mfu.py
         elif want_rumba && [ "$tvfast" = 1 ]; then
             FIBERS_PROFILE=1 run_one rumba.json \
