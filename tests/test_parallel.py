@@ -113,6 +113,30 @@ class TestShardedBatchAPI:
                                    np.asarray(gqi_local.odf.vol),
                                    rtol=1e-4, atol=2e-5)
 
+    def test_prepare_batch_mesh_u12_equals_local_u12(self, tmp_mri):
+        """The packed 12-bit wire dequantizes identically on a sharded
+        mesh batch (the unpack is elementwise over the sharded row
+        axis)."""
+        _require_devices(8)
+        import fibers_tpu as ft
+        from fibers_tpu.parallel.mesh import make_mesh
+
+        mri, _ = tmp_mri
+        mask = ft.MRI.like(mri, 1, np.float32)
+        mask.vol[:] = 1
+
+        mesh = make_mesh(8)
+        b_mesh = ft.prepare_batch(mri, mask, mesh=mesh, wire="u12")
+        b_loc = ft.prepare_batch(mri, mask, wire="u12")
+        n = b_loc.n
+        np.testing.assert_array_equal(
+            np.asarray(b_mesh.signals)[:n], np.asarray(b_loc.signals)[:n])
+
+        dti_sharded = ft.dti_fit(mri, mask, batch=b_mesh)
+        dti_local = ft.dti_fit(mri, mask, batch=b_loc)
+        np.testing.assert_allclose(dti_sharded.fa.vol, dti_local.fa.vol,
+                                   rtol=1e-4, atol=2e-5)
+
 
 class TestShardedRumba:
     def test_rumba_sharded_equals_local_with_tv(self):
