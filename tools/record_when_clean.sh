@@ -93,8 +93,8 @@ PYEOF
 want_mfu()   { ! have mfu.json && [ "$(attempts mfu.json)" -lt 2 ]; }
 want_tvf()   { want tvf.json      70 3; }   # fused-TV ms/iter (VERDICT-4)
 want_rumba() { want rumba.json   140 8; }   # fused-TV rumba<=65 + chain
-want_e2e()   { want e2e.json      45 4; }
-want_dsi()   { want dsi.json      16 4; }
+want_e2e()   { want e2e.json      38 5; }
+want_dsi()   { want dsi.json      14 4; }
 
 while :; do
     now=$(date +%s)
