@@ -290,3 +290,184 @@ class TestForeignBruker:
         study, data, dims = self._tree(tmp_path, with_slope=False)
         mri = ft.mri_read(study)
         assert np.isfinite(np.asarray(mri.vol)).all()
+
+
+class TestMGHFuzz:
+    """Byte-level .mgh/.mgz sweep: random dtype x compression x geometry
+    x mr_parms combinations, each file hand-written big-endian
+    independently of save_mgh; the reader must reproduce values,
+    vox2ras, mr_parms, and random slice/frame subsets for all of them
+    (reference layout: src/mri.jl:1217-1372)."""
+
+    # (MGH type code, numpy dtype)
+    TYPES = [(0, np.uint8), (1, np.int32), (3, np.float32),
+             (4, np.int16), (10, np.uint16)]
+
+    @staticmethod
+    def _write_mgh(path, vol, mdc, delta, pxyz_c, mr_parms=None):
+        import io as _io
+        import struct
+
+        n1, n2, n3, nf = vol.shape
+        code = {np.dtype(np.uint8): 0, np.dtype(np.int32): 1,
+                np.dtype(np.float32): 3, np.dtype(np.int16): 4,
+                np.dtype(np.uint16): 10}[vol.dtype]
+        buf = _io.BytesIO()
+        buf.write(struct.pack(">7i", 1, n1, n2, n3, nf, code, 0))
+        buf.write(struct.pack(">h", 1))                    # ras_good
+        buf.write(np.asarray(delta, ">f4").tobytes())
+        buf.write(np.asarray(mdc, ">f4").tobytes(order="F"))
+        buf.write(np.asarray(pxyz_c, ">f4").tobytes())
+        buf.write(b"\x00" * (256 - 2 - 60))                # unused tail
+        buf.write(vol.astype(vol.dtype.newbyteorder(">")).tobytes(order="F"))
+        if mr_parms is not None:
+            buf.write(np.asarray(mr_parms, ">f4").tobytes())
+        payload = buf.getvalue()
+        if path.endswith("gz"):
+            with gzip.open(path, "wb") as f:
+                f.write(payload)
+        else:
+            with open(path, "wb") as f:
+                f.write(payload)
+
+    def test_random_mgh_files(self, tmp_path):
+        rng = np.random.default_rng(1234)
+        for case in range(20):
+            code, dt = self.TYPES[case % len(self.TYPES)]
+            gz = case % 2 == 1
+            with_parms = case % 3 != 0
+            shape = tuple(int(s) for s in rng.integers(3, 9, 3))
+            nf = int(rng.integers(1, 5))
+            if np.issubdtype(dt, np.integer):
+                vol = rng.integers(0, 200, shape + (nf,)).astype(dt)
+            else:
+                vol = (rng.random(shape + (nf,)) * 50 - 10).astype(dt)
+
+            q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+            mdc = (q * np.sign(np.linalg.det(q))).astype(np.float64)
+            delta = rng.uniform(0.5, 3.0, 3)
+            pxyz_c = rng.uniform(-40, 40, 3)
+            parms = rng.uniform(0, 100, 4).astype(np.float32) \
+                if with_parms else None
+
+            p = str(tmp_path / f"f{case}.{'mgz' if gz else 'mgh'}")
+            self._write_mgh(p, vol, mdc, delta, pxyz_c, parms)
+
+            got, M, mr_parms, volsz = ft.load_mgh(p)
+            np.testing.assert_array_equal(got, vol, err_msg=str(case))
+            assert tuple(volsz) == shape + (nf,)
+            # M = [mdc @ diag(delta) | pxyz_c - mdc @ d @ dims/2]
+            want_lin = mdc @ np.diag(delta)
+            np.testing.assert_allclose(M[:3, :3], want_lin, atol=2e-4)
+            want_t = pxyz_c - want_lin @ (np.asarray(shape) / 2)
+            np.testing.assert_allclose(M[:3, 3], want_t, atol=2e-3)
+            if with_parms:
+                np.testing.assert_allclose(mr_parms, parms, rtol=1e-6)
+            else:
+                assert mr_parms.size == 0
+
+            # random 1-based subset read == slicing the full volume
+            sl = sorted(rng.choice(np.arange(1, shape[2] + 1),
+                                   size=2, replace=False).tolist())
+            fr = sorted(rng.choice(np.arange(1, nf + 1),
+                                   size=min(2, nf), replace=False).tolist())
+            sub, _, _, _ = ft.load_mgh(p, slices=sl, frames=fr)
+            want = vol[:, :, [s - 1 for s in sl]][..., [f - 1 for f in fr]]
+            np.testing.assert_array_equal(sub, want, err_msg=str(case))
+
+            # the full mri_read path derives the same geometry
+            mri = ft.mri_read(p)
+            np.testing.assert_allclose(mri.vox2ras0, M, atol=1e-4)
+
+
+class TestTrkFuzz:
+    """Byte-level .trk v2 sweep: random streamline counts/lengths x
+    scalars x properties x voxel size, each file hand-written
+    little-endian independently of trk_write; exercises both the packed
+    fast path (no scalars/properties) and the ragged path
+    (reference layout: src/trk.jl:358-423, ±0.5-voxel mm convention
+    src/trk.jl:410-412)."""
+
+    @staticmethod
+    def _write_trk(path, dim, vsz, lines, scalars, props):
+        import struct
+
+        ns = scalars[0].shape[0] if scalars else 0
+        npr = props[0].shape[0] if props else 0
+        hdr = bytearray(1000)
+        hdr[0:6] = b"TRACK\x00"
+        struct.pack_into("<3h", hdr, 6, *[int(d) for d in dim])
+        struct.pack_into("<3f", hdr, 12, *[float(v) for v in vsz])
+        struct.pack_into("<h", hdr, 36, ns)
+        struct.pack_into("<h", hdr, 238, npr)
+        eye = np.eye(4, dtype="<f4")
+        eye[0, 0], eye[1, 1], eye[2, 2] = vsz
+        hdr[440:504] = eye.tobytes()
+        hdr[948:952] = b"LPS\x00"
+        struct.pack_into("<i", hdr, 988, len(lines))
+        struct.pack_into("<i", hdr, 992, 2)
+        struct.pack_into("<i", hdr, 996, 1000)
+
+        with open(path, "wb") as f:
+            f.write(bytes(hdr))
+            for i, vox in enumerate(lines):
+                n = vox.shape[1]
+                f.write(struct.pack("<i", n))
+                mm = (vox.astype(np.float64) + 0.5) * np.asarray(
+                    vsz, np.float64)[:, None]
+                rec = np.empty((n, 3 + ns), "<f4")
+                rec[:, 0:3] = mm.T
+                if ns:
+                    rec[:, 3:] = scalars[i].T
+                f.write(rec.tobytes())
+                if npr:
+                    f.write(props[i].astype("<f4").tobytes())
+
+    def test_random_trk_files(self, tmp_path):
+        rng = np.random.default_rng(77)
+        for case in range(16):
+            ns = [0, 0, 1, 3][case % 4]       # half the cases: fast path
+            npr = [0, 0, 2, 1][case % 4]
+            ncount = int(rng.integers(1, 6))
+            dim = rng.integers(8, 30, 3)
+            vsz = rng.uniform(0.4, 3.0, 3).astype(np.float32)
+            lines = [rng.uniform(0, dim.min() - 1,
+                                 (3, int(rng.integers(1, 13)))
+                                 ).astype(np.float32)
+                     for _ in range(ncount)]
+            scalars = [rng.random((ns, li.shape[1])).astype(np.float32)
+                       for li in lines] if ns else []
+            props = [rng.random(npr).reshape(npr).astype(np.float32)
+                     for _ in lines] if npr else []
+
+            p = str(tmp_path / f"t{case}.trk")
+            self._write_trk(p, dim, vsz, lines, scalars, props)
+
+            tr = ft.trk_read(p)
+            assert tr.n_count == ncount, case
+            assert tr.n_scalars == ns and tr.n_properties == npr
+            assert [int(n) for n in tr.npts] == \
+                [li.shape[1] for li in lines]
+            np.testing.assert_allclose(tr.voxel_size, vsz, rtol=1e-6)
+            for got, want in zip(tr.xyz, lines):
+                # mm -> voxel back-conversion in f32: bounded rounding
+                np.testing.assert_allclose(got, want, atol=2e-4,
+                                           err_msg=str(case))
+            if ns:
+                for got, want in zip(tr.scalars, scalars):
+                    np.testing.assert_allclose(got, want, rtol=1e-6)
+            if npr:
+                np.testing.assert_allclose(
+                    tr.properties, np.stack(props, axis=1), rtol=1e-6)
+
+            # write it back out: the byte count must match the
+            # reference's checksum formula (src/trk.jl:486-492)
+            p2 = str(tmp_path / f"t{case}_out.trk")
+            assert ft.trk_write(tr, p2) is False
+            want_bytes = 1000 + sum(
+                4 + 4 * (3 + ns) * li.shape[1] + 4 * npr for li in lines)
+            assert os.path.getsize(p2) == want_bytes, case
+            # and re-reading reproduces the points
+            t3 = ft.trk_read(p2)
+            for got, want in zip(t3.xyz, lines):
+                np.testing.assert_allclose(got, want, atol=4e-4)
