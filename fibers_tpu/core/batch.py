@@ -70,12 +70,23 @@ def _resolve_wire(flat: np.ndarray, wire: str, idx: np.ndarray = None):
         return None, 0.0
     if wire in ("auto", "auto8") and jax.default_backend() == "cpu":
         return None, 0.0
-    # cheap host scan, memory-bound (~0.1-0.3 s at HCP scale); chunked
-    # over the mask indices so no [Nmask, nvol] temporary materializes
+    # host scan chunked over the mask indices so no [Nmask, nvol]
+    # temporary materializes.  Chunks gather into ONE pooled buffer
+    # (np.take out=) sized under malloc's 32 MB munmap threshold:
+    # per-chunk fresh allocations would first-touch-fault at ~0.1 GB/s
+    # on the bench VM (utils.hostbuf), multi-second at HCP scale.
     if idx is not None and len(idx):
+        from ..utils.hostbuf import scratch
+
+        nvol = flat.shape[1] if flat.ndim == 2 else 1
+        itemsize = flat.dtype.itemsize
+        rows = max(1, (24 << 20) // max(1, nvol * itemsize))
+        buf = scratch("wire-range-scan", rows * nvol, flat.dtype)
+        buf = buf.reshape(rows, nvol) if flat.ndim == 2 else buf
         vmax, vmin = -np.inf, np.inf
-        for lo in range(0, len(idx), 1 << 16):
-            part = flat[idx[lo:lo + (1 << 16)]]
+        for lo in range(0, len(idx), rows):
+            ii = idx[lo:lo + rows]
+            part = np.take(flat, ii, axis=0, out=buf[:len(ii)])
             vmax = max(vmax, float(part.max()))
             vmin = min(vmin, float(part.min()))
     else:

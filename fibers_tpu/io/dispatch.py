@@ -24,7 +24,7 @@ from .nifti import NIFTI_CODES, load_nifti, save_nifti
 __all__ = ["mri_read", "mri_write", "mri_read_struct", "mri_write_struct"]
 
 
-def mri_read(infile: str, result_type: type = None,
+def mri_read(infile: str, result_type: type = None, *legacy,
              headeronly: bool = False, permutedata: bool = False,
              reco: int = 1) -> MRI:
     """Read an image volume (.mgh/.mgz, .nii/.nii.gz, file stem, or Bruker
@@ -34,26 +34,44 @@ def mri_read(infile: str, result_type: type = None,
     `mri_read(inbase, RUMBASD)` — reads the set of `<inbase>_<field>`
     files written by the `*_write` functions back into that struct,
     exactly like the reference's generic loader (the tutorial resumes a
-    precomputed RUMBA fit this way).  A bool second positional argument
-    is still accepted as `headeronly` (the pre-round-5 signature).
+    precomputed RUMBA fit this way).  The pre-round-5 positional
+    signature `mri_read(path, headeronly[, permutedata[, reco]])` (bool
+    second argument) is still accepted, with every legacy positional
+    shifted to its old slot.
 
     (reference: src/mri.jl:611-733 and src/mri.jl:2276-2311)
     """
     if result_type is not None:
         if isinstance(result_type, bool):
-            # pre-round-5 signature compatibility: mri_read(path, True)
-            # was a positional headeronly read (bool ONLY — any other
-            # non-type second argument is a caller error)
+            # pre-round-5 signature compatibility: shift ALL legacy
+            # positionals, not just the first — silently dropping
+            # permutedata/reco would return wrong axis order/reco
+            if len(legacy) > 2:
+                raise TypeError(
+                    f"mri_read takes at most 4 positional arguments "
+                    f"({3 + len(legacy)} given)")
             headeronly = result_type
+            if len(legacy) >= 1:
+                permutedata = legacy[0]
+            if len(legacy) == 2:
+                reco = legacy[1]
         elif not isinstance(result_type, type):
             raise TypeError(
                 "mri_read's second argument must be a result-struct type "
                 f"(e.g. RUMBASD) or the headeronly flag, got "
                 f"{result_type!r}")
         else:
+            if legacy:
+                raise TypeError(
+                    "mri_read(inbase, Type) takes options as keywords "
+                    f"(got {len(legacy)} extra positional arguments)")
             return mri_read_struct(infile, result_type,
                                    headeronly=headeronly,
                                    permutedata=permutedata)
+    elif legacy:
+        raise TypeError(
+            "positional options require the legacy bool second argument "
+            "(headeronly); pass keywords instead")
     if os.path.isdir(infile):
         from .bruker import load_bruker
         mri = load_bruker(infile, headeronly=headeronly, reco=reco)

@@ -860,8 +860,21 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                 # row padding depends on batch/mesh (real rows are the
                 # first nmask), and pre-v2 checkpoints stored lam_flat on
                 # the full volume instead of the TV crop.
-                fodf_h = np.asarray(ck["fodf"])[:nmask, :ncomp]
-                sig2_h = np.asarray(ck["sig2"])[:nmask]
+                fodf_ck = np.asarray(ck["fodf"])
+                if fodf_ck.ndim != 2 or fodf_ck.shape[1] < ncomp:
+                    raise ValueError(
+                        f"checkpoint {checkpoint_path} fodf shape "
+                        f"{fodf_ck.shape} has fewer than ncomp={ncomp} "
+                        "columns")
+                fodf_h = fodf_ck[:nmask, :ncomp]
+                sig2_h = np.asarray(ck["sig2"], np.float32)
+                if sig2_h.ndim == 1:
+                    sig2_h = sig2_h[:, None]
+                if sig2_h.ndim != 2 or sig2_h.shape[1] != 1:
+                    raise ValueError(
+                        f"checkpoint {checkpoint_path} sig2 shape "
+                        f"{sig2_h.shape} is not a column")
+                sig2_h = sig2_h[:nmask]
                 if fodf_h.shape[0] < nmask:
                     raise ValueError(
                         f"checkpoint {checkpoint_path} has fewer rows "
@@ -890,12 +903,19 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                             f"size {lam_h.size} matches neither the TV "
                             f"crop ({tv_nxyz}) nor the full volume "
                             f"({int(np.prod(shape3))})")
-                fodf = place(jnp.asarray(fodf_h))
-                sig2 = place(jnp.asarray(sig2_h))
-                lam_flat = jnp.asarray(lam_h.astype(np.float32))
-                dodf = jnp.dot(fodf, kernel_j.T,
-                               precision=jax.lax.Precision.HIGHEST)
-                dodf_sig = (signal_j * dodf) / sig2
+                # Build every resume value in locals and rebind the
+                # loop state only after ALL of them validate: a partial
+                # rebind surviving into on_mismatch="fresh" would run
+                # the fit from a corrupt hybrid of checkpoint and
+                # initial state.
+                fodf_r = place(jnp.asarray(fodf_h))
+                sig2_r = place(jnp.asarray(sig2_h))
+                lam_r = jnp.asarray(lam_h.astype(np.float32))
+                dodf_r = jnp.dot(fodf_r, kernel_j.T,
+                                 precision=jax.lax.Precision.HIGHEST)
+                dodf_sig_r = (signal_j * dodf_r) / sig2_r
+                fodf, sig2, lam_flat = fodf_r, sig2_r, lam_r
+                dodf, dodf_sig = dodf_r, dodf_sig_r
                 it_start = int(ck["iteration"])
                 print(f"Resuming RUMBA-SD from iteration {it_start} "
                       f"({checkpoint_path})")

@@ -19,6 +19,7 @@ that escape into results.
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 
@@ -26,6 +27,13 @@ __all__ = ["scratch"]
 
 _pool: dict = {}        # (tag, dtype) -> [buf, last-use tick]
 _tick = 0
+# scratch() is called from the overlap-mode fetch worker concurrently
+# with the main decode thread (distinct tags, but a shared dict + LRU
+# eviction); the lock keeps insert/evict/tick bookkeeping coherent.
+# Dropping an entry another thread still views is safe — numpy keeps
+# the buffer alive through the view — and per the contract a tag is
+# only ever produced/consumed by one thread at a time.
+_lock = threading.Lock()
 # total pooled bytes are bounded: past the cap the least-recently-used
 # tags are evicted (heterogeneous workloads in one process — different
 # wire modes, problem sizes — would otherwise pin one max-size buffer
@@ -43,20 +51,21 @@ def scratch(tag: str, n: int, dtype) -> np.ndarray:
         raise ValueError(f"scratch size must be >= 0, got {n}")
     dt = np.dtype(dtype)
     key = (tag, dt)
-    _tick += 1
-    ent = _pool.get(key)
-    if ent is None or ent[0].size < n:
-        # grow with headroom so a slightly-larger next chunk doesn't
-        # re-fault; the old buffer is dropped (its pages go back to the
-        # OS) only on growth
-        cap = max(n, int(1.25 * n) if ent is None else
-                  max(int(1.25 * n), ent[0].size))
-        ent = [np.empty(cap, dt), _tick]
-        _pool[key] = ent
-        _evict(keep=key)
-    else:
-        ent[1] = _tick
-    return ent[0][:n]
+    with _lock:
+        _tick += 1
+        ent = _pool.get(key)
+        if ent is None or ent[0].size < n:
+            # grow with headroom so a slightly-larger next chunk doesn't
+            # re-fault; the old buffer is dropped (its pages go back to
+            # the OS) only on growth
+            cap = max(n, int(1.25 * n) if ent is None else
+                      max(int(1.25 * n), ent[0].size))
+            ent = [np.empty(cap, dt), _tick]
+            _pool[key] = ent
+            _evict(keep=key)
+        else:
+            ent[1] = _tick
+        return ent[0][:n]
 
 
 def _evict(keep) -> None:

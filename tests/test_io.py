@@ -408,6 +408,25 @@ class TestStructConvention:
         hdr = ft.mri_read(p, True)
         assert hdr.vol.size == 0 and tuple(hdr.volsize[:3]) == (4, 4, 4)
 
+    def test_legacy_positional_shift(self, tmp_path, rng):
+        """Pre-round-5 3-positional form mri_read(path, headeronly,
+        permutedata) keeps every legacy positional in its old slot —
+        permutedata must not be silently dropped."""
+        m = ft.MRI(vol=rng.standard_normal((3, 5, 4)).astype(np.float32))
+        m.vox2ras0 = _geom_matrix()
+        p = str(tmp_path / "l.nii.gz")
+        ft.mri_write(m, p)
+        got = ft.mri_read(p, False, True)      # headeronly=F, permute=T
+        want = ft.mri_read(p, permutedata=True)
+        assert got.vol.shape == want.vol.shape == (5, 3, 4)
+        assert np.array_equal(got.vol, want.vol)
+        # the struct form takes options as keywords only
+        with pytest.raises(TypeError, match="keywords"):
+            ft.mri_read(p, ft.DTI, True)
+        # positionals without the legacy bool are rejected, not misbound
+        with pytest.raises(TypeError):
+            ft.mri_read(p, None, True)
+
 
 class TestGeometry:
     def test_vox2ras_0to1(self):

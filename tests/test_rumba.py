@@ -184,6 +184,36 @@ class TestCheckpoint:
             ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4,
                          checkpoint_path=ck, on_mismatch="retry")
 
+    def test_corrupt_arrays_fresh_restart_is_clean(self, tmp_path):
+        """A checkpoint whose IDENTITY metadata matches but whose arrays
+        are malformed (fodf missing columns) must not leave a partially
+        applied hybrid state behind: on_mismatch='fresh' restarts from
+        the true initial state and matches an uncheckpointed run."""
+        import numpy as np
+        import pytest
+        from phantom import make_phantom
+        dwi, mask, _, _ = make_phantom(shape=(3, 3, 3), ndir=30)
+        ck = str(tmp_path / "good.npz")
+        ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4,
+                     checkpoint_path=ck, checkpoint_every=2)
+        with np.load(ck) as z:
+            state = dict(z)
+        # identity keys intact; fodf loses half its columns and sig2 is
+        # flattened — both malformed layouts the resume must reject
+        state["fodf"] = state["fodf"][:, : int(state["ncomp"]) // 2]
+        state["sig2"] = state["sig2"].reshape(-1)
+        bad = str(tmp_path / "corrupt.npz")
+        np.savez(bad, **state)
+        fresh = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4)
+        with pytest.warns(UserWarning, match="starting fresh"):
+            rec = ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4,
+                               checkpoint_path=bad, on_mismatch="fresh")
+        assert np.abs(rec.fodf.vol - fresh.fodf.vol).max() < 1e-6
+        # and the default still fails loudly on the same file
+        with pytest.raises(ValueError, match="fodf shape"):
+            ft.rumba_rec(dwi, mask, ft.sphere_362, niter=4,
+                         checkpoint_path=bad)
+
     def test_legacy_fullvolume_lam_remapped(self, tmp_path):
         """Pre-v2 checkpoints stored lam_flat on the full volume; resume
         remaps it onto the TV crop instead of discarding progress."""

@@ -10,6 +10,8 @@
 # in-run pace abort (--abort-pace) that kills a doomed attempt in ~90 s.
 #
 #   OUTDIR=benchmarks/records_r5 bash tools/record_when_clean.sh
+# (bare runs default to /tmp/records_r5; pass OUTDIR=benchmarks/... to
+# record into the repo for the round baseline)
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:/root/.axon_site"
