@@ -115,7 +115,8 @@ def st_eigen(sxx, sxy, sxz, syy, syz, szz):
     return to_host(evecs[..., ::-1]), to_host(evals[..., ::-1])
 
 
-def st_recon(vol: np.ndarray, sigma: float, rho: float, lazy: bool = False):
+def st_recon(vol: np.ndarray, sigma: float, rho: float, lazy: bool = False,
+             mesh=None):
     """Structure-tensor reconstruction: Gaussian pre-smooth (sigma), Scharr
     gradients, outer products, Gaussian post-smooth (rho), eigen-
     decomposition.  (reference: src/structens.jl:40-88)
@@ -126,6 +127,13 @@ def st_recon(vol: np.ndarray, sigma: float, rho: float, lazy: bool = False):
     evecs/evals fetch (which dominates wall time over the ~0.3 s kernel
     at HCP scale, BASELINE.md) is deferred until host code touches them
     — device-side consumers (e.g. orientation handoff) never pay it.
+
+    With `mesh` (jax.sharding.Mesh) the volume is sharded over the
+    mesh's "data" axis along the first volume dimension that divides it;
+    the banded-GEMM filters then run data-parallel, with GSPMD inserting
+    the halo collectives for the axis being filtered (the volumes are
+    MBs, so these ride ICI for free).  Like every other fit, multi-chip
+    is a sharding annotation, not new code (SURVEY.md §7).
     """
     from ..core.lazy import LazyArray
     from ..ops.transfer import sync, to_host
@@ -134,8 +142,19 @@ def st_recon(vol: np.ndarray, sigma: float, rho: float, lazy: bool = False):
     v = np.asarray(vol, np.float32)
     if v.ndim == 4:
         v = v[..., 0]
+    dev = jnp.asarray(v)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ndata = mesh.shape["data"]
+        axis = next((i for i in range(3) if v.shape[i] % ndata == 0), None)
+        if axis is not None:
+            spec = [None, None, None]
+            spec[axis] = "data"
+            dev = jax.device_put(v, NamedSharding(mesh, P(*spec)))
+        # no divisible axis: keep the single-device placement (correct,
+        # just not sharded)
     with prof("structens.kernel"):
-        evecs, evals = _st_kernel(jnp.asarray(v), float(sigma), float(rho))
+        evecs, evals = _st_kernel(dev, float(sigma), float(rho))
         sync(evals)
     if lazy:
         return LazyArray(evecs), LazyArray(evals)

@@ -45,3 +45,31 @@ class TestStructens:
                           [u[i, 2], u[i, 4], u[i, 5]]])
             ref = np.linalg.eigvalsh(m)
             assert np.allclose(eval_[i], ref, atol=2e-4)
+
+
+class TestShardedStructens:
+    def test_sharded_equals_local(self):
+        """st_recon(mesh=) shards the volume over the data axis; the
+        banded-GEMM filters and eigensolve must reproduce the local
+        result exactly (GSPMD inserts the filter-axis collectives)."""
+        from fibers_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(3)
+        vol = rng.standard_normal((16, 12, 10)).astype(np.float32)
+        evec0, eval0 = ft.st_recon(vol, 1.0, 1.5)
+        mesh = make_mesh(8)
+        evec1, eval1 = ft.st_recon(vol, 1.0, 1.5, mesh=mesh)
+        np.testing.assert_allclose(eval1, eval0, atol=1e-5)
+        # eigenvectors have sign freedom; compare |dot| per voxel
+        dots = np.abs((evec1 * evec0).sum(axis=-2))
+        np.testing.assert_allclose(dots, 1.0, atol=1e-4)
+
+    def test_no_divisible_axis_falls_back(self):
+        from fibers_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(4)
+        vol = rng.standard_normal((9, 7, 11)).astype(np.float32)
+        mesh = make_mesh(8)
+        evec, evall = ft.st_recon(vol, 1.0, 1.0, mesh=mesh)
+        evec0, eval0 = ft.st_recon(vol, 1.0, 1.0)
+        np.testing.assert_allclose(evall, eval0, atol=1e-5)
