@@ -109,12 +109,15 @@ def info(mri: MRI) -> None:
     """Print basic header info.  (reference: src/show.jl:108-121)"""
     if mri.fspec:
         print("Read from: " + mri.fspec)
-    print("Volume dimensions: " + str(list(mri.vol.shape)))
+    shape = list(mri.vol.shape) if np.asarray(mri.vol).size \
+        else [int(v) for v in mri.volsize[:3]] + [int(mri.nframes)]
+    print("Volume dimensions: " + str(shape))
     print("Spatial resolution: " + str([float(v) for v in mri.volres]))
     if mri.bval is not None and len(mri.bval):
         print("b-values: " + str([float(v) for v in np.unique(mri.bval)]))
-    print("Intensity range: " + str([float(mri.vol.min()),
-                                     float(mri.vol.max())]))
+    if np.asarray(mri.vol).size:         # header-only reads skip payload
+        print("Intensity range: " + str([float(mri.vol.min()),
+                                         float(mri.vol.max())]))
 
 
 def disp(mri: MRI, mrimod: Optional[MRI] = None) -> None:
