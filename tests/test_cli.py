@@ -83,6 +83,18 @@ class TestCLI:
         assert t.n_count > 0
         assert os.path.isfile(os.path.join(outdir, "dti_fa.nii.gz"))
 
+    def test_dsi(self, tmp_path):
+        from test_dsi import make_dsi_phantom
+
+        dwi, mask, _ = make_dsi_phantom(shape=(4, 4, 4))
+        dp, mp = str(tmp_path / "q.nii.gz"), str(tmp_path / "m.nii.gz")
+        ft.mri_write(dwi, dp)
+        ft.mri_write(mask, mp)
+        base = str(tmp_path / "dsi")
+        assert main(["dsi", dp, mp, base]) == 0
+        qa = ft.mri_read(base + "_qa1.nii.gz")
+        assert np.isfinite(np.asarray(qa.vol)).all()
+
     def test_unknown_sphere_rejected(self, data):
         tmp, dp, mp = data
         with pytest.raises(SystemExit):
