@@ -160,8 +160,16 @@ def mri_write(mri: MRI, outfile: str, dtype=None) -> bool:
     """Write an MRI volume to .mgh/.mgz or .nii/.nii.gz (geometry derived
     from vox2ras0).  Returns True on error.
 
-    (reference: src/mri.jl:1695-1919)
+    A result struct (DTI/GQI/DSI/RUMBASD/..., anything with MRI fields)
+    as the first argument routes to `mri_write_struct(result, outfile)`
+    — the write-side mirror of `mri_read(inbase, Type)`.
+
+    (reference: src/mri.jl:1695-1919; struct writers src/dti.jl:331-352,
+    src/rusd.jl:637-660)
     """
+    if not isinstance(mri, MRI):
+        return mri_write_struct(mri, outfile)
+
     err = True
 
     if mri.vol.size == 0:

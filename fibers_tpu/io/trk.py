@@ -82,6 +82,10 @@ class Tract:
     packed_xyz: Optional[np.ndarray] = None
     packed_scalars: Optional[np.ndarray] = None   # [total, n_scalars]
 
+    def __len__(self) -> int:
+        """Number of streamlines (either storage mode)."""
+        return len(self.npts)
+
     def set_packed(self, flat_pts: np.ndarray, npts: np.ndarray,
                    scalars: Optional[np.ndarray] = None) -> None:
         """Adopt packed streamline storage ([total, 3] + counts +

@@ -40,6 +40,22 @@ the core):
 (reference: src/rusd.jl:183-235, 282-296 — the TV gradient/divergence
 term; the embed/compact structure has no reference counterpart, it is
 the TPU-side inverse of the reference's per-component scatter/gather.)
+
+Backend status (2026-08-19, libtpu on the v5e): Mosaic lowers the
+sublane `take_along_axis` to `tpu.dynamic_gather`, whose current
+lowering supports only a SINGLE source vreg (8 f32 sublanes) along the
+gather dimension — any yz > 8 slice fails with "Not implemented:
+Multiple source vregs along gather dimension".  The monotone-window
+decomposition (each 8-row destination vreg reads an 8-row source window
+at offset gl[8k], so the local gather is single-vreg) is correct but
+degenerates to a per-vreg fori_loop (~1600 iterations/slice), costing
+about the same as the XLA gathers it would replace (~22 ms/direction at
+HCP scale) — the VPU processes one vreg per ~15 cycles instead of one
+per cycle.  Until Mosaic grows a multi-vreg gather (or a compaction
+primitive), `fused_probe_ok()` returns False on real TPUs and RUMBA
+uses the unfused tv_stencil path; the kernel remains exact in interpret
+mode (tests/test_tv_pallas.py) and self-enables the day the lowering
+lands.
 """
 
 from __future__ import annotations
@@ -189,10 +205,16 @@ def _kernel(yz, z_len, cb, lo_ref, st_ref, glc_ref, inc_ref, gln_ref,
             rows_hbm.at[pl.ds(start, yz), pl.ds(c * cb, cb)], rwin, isem)
         cp.start()
         cp.wait()
-        gl = gl_ref[:yz]                       # [yz, 1] i32
+        # Mosaic's gather (tpu.dynamic_gather) needs indices of the
+        # operand's exact [yz, cb] shape (lane-batched sublane gather);
+        # broadcast the [yz, 1] column — in bounds by construction.
+        gl = jnp.broadcast_to(gl_ref[:yz], (yz, cb))
         msk = in_ref[:yz]                      # [yz, 1] f32
         dst[...] = jnp.where(
-            msk > 0, jnp.take_along_axis(rwin[...], gl, axis=0), 0.0)
+            msk > 0,
+            jnp.take_along_axis(rwin[...], gl, axis=0,
+                                mode="promise_in_bounds"),
+            0.0)
 
     @pl.when(x == 0)
     def _():
@@ -247,7 +269,9 @@ def _kernel(yz, z_len, cb, lo_ref, st_ref, glc_ref, inc_ref, gln_ref,
     # Compact to row order and write at this slice's row offset; the
     # write is serialized within the step so the next (overlapping)
     # slice's write lands after it.
-    rwin[...] = jnp.take_along_axis(tv, cell_ref[:yz], axis=0)
+    rwin[...] = jnp.take_along_axis(
+        tv, jnp.broadcast_to(cell_ref[:yz], (yz, cb)), axis=0,
+        mode="promise_in_bounds")
     ocp = pltpu.make_async_copy(
         rwin, out_hbm.at[pl.ds(lo_ref[x], yz), pl.ds(c * cb, cb)], osem)
     ocp.start()
