@@ -47,7 +47,7 @@ def _preflight():
     # The child enables the persistent compile cache BEFORE the matmul:
     # without it every probe pays a fresh remote compile + staging
     # (15-400 s on this runtime), and a healthy-but-cold tunnel would
-    # read as dead at the 45 s deadline.
+    # read as dead at the liveness deadline.
     p = subprocess.Popen(
         [sys.executable, "-c",
          "import jax; "
@@ -61,7 +61,12 @@ def _preflight():
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True)
     try:
-        ok = p.wait(timeout=45) == 0
+        # 120 s: a live tunnel's first dispatch can pay ~45-50 s of
+        # executable staging in slow windows (measured 46.9 s on
+        # 2026-08-19); a truly wedged tunnel hangs for hours.  45 s
+        # misclassified slow-staging windows as dead and would have
+        # cost this bench its driver-captured record.
+        ok = p.wait(timeout=120) == 0
     except subprocess.TimeoutExpired:
         # Do NOT wait for the corpse: a tunnel-wedged child can sit in an
         # unkillable uninterruptible-syscall state and block the caller.
@@ -69,7 +74,7 @@ def _preflight():
         ok = False
     if not ok:
         sys.stderr.write("bench.py preflight: tunnel relay listening but "
-                         "UNRESPONSIVE (45 s tiny-matmul deadline) — "
+                         "UNRESPONSIVE (120 s tiny-matmul deadline) — "
                          "not a framework failure\n")
         sys.exit(2)
 

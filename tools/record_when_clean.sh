@@ -93,8 +93,11 @@ PYEOF
 # caps bound total TPU time; pace-aborted config-4 attempts are cheap.
 # mfu's "value" is a table, not a number: existence is the target
 want_mfu()   { ! have mfu.json && [ "$(attempts mfu.json)" -lt 2 ]; }
-want_tvf()   { want tvf.json      70 3; }   # fused-TV ms/iter (VERDICT-4)
-want_rumba() { want rumba.json   140 8; }   # fused-TV rumba<=65 + chain
+# 80: the fused kernel is unbuildable on this libtpu (Mosaic single-vreg
+# gather, see ops/pallas/tv_fused.py); 78.2 ms unfused is the honest
+# ceiling, so gate on "clean-window unfused" not the fused 70.
+want_tvf()   { want tvf.json      80 3; }
+want_rumba() { want rumba.json   165 8; }   # unfused 600-iter + chain
 want_e2e()   { want e2e.json      38 5; }
 want_dsi()   { want dsi.json      14 4; }
 
@@ -113,19 +116,19 @@ while :; do
     tvfast=0
     [ -n "$tv" ] && tvfast=$(awk "BEGIN{print ($tv < 45) ? 1 : 0}")
     if echo "$w" | grep -q '"clean": true'; then
-        if want_tvf; then                 # fastest + decides the fused
-            run_one tvf.json python benchmarks/bench_tv_fused.py
+        if want_e2e; then                 # the headline: ~8 min
+            FIBERS_PROFILE=1 run_one e2e.json python bench.py
+        elif want_dsi; then               # ~3 min
+            FIBERS_PROFILE=1 run_one dsi.json \
+                python benchmarks/bench_models.py --config 3
         elif want_mfu; then               # kernel table: ~3 min
             run_one mfu.json python benchmarks/bench_mfu.py
         elif want_rumba && [ "$tvfast" = 1 ]; then
             FIBERS_PROFILE=1 run_one rumba.json \
                 python benchmarks/bench_models.py --config 4 \
                 --chain-stream --abort-pace 0.15
-        elif want_e2e; then               # the headline: ~8 min
-            FIBERS_PROFILE=1 run_one e2e.json python bench.py
-        elif want_dsi; then               # ~3 min
-            FIBERS_PROFILE=1 run_one dsi.json \
-                python benchmarks/bench_models.py --config 3
+        elif want_tvf; then               # iteration split (unfused)
+            run_one tvf.json python benchmarks/bench_tv_fused.py
         else
             sleep 420                     # clean but TV-slow for rumba
         fi

@@ -43,7 +43,7 @@ def main():
                           "(port 8082 refused)"}))
         sys.exit(1)
     # persistent compile cache in the child too: a cold probe compile
-    # (15-400 s) must not read as a wedged tunnel at the 45 s deadline
+    # (15-400 s) must not read as a wedged tunnel at the liveness deadline
     cache = os.environ.get("FIBERS_JAX_CACHE", "/tmp/fibers_jax_cache")
     p = subprocess.Popen(
         [_sys.executable, "-c",
@@ -58,7 +58,11 @@ def main():
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True)
     try:
-        ok = p.wait(timeout=45) == 0
+        # 120 s: a live tunnel's first dispatch can pay ~45-50 s of
+        # executable staging in slow windows (measured 46.9 s on
+        # 2026-08-19); a truly wedged tunnel hangs for hours.  45 s
+        # misclassified slow-staging windows as dead.
+        ok = p.wait(timeout=120) == 0
     except subprocess.TimeoutExpired:
         # Do NOT wait for the corpse: a tunnel-wedged child can sit in
         # an unkillable (uninterruptible-syscall) state, and
