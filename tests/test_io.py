@@ -391,6 +391,14 @@ class TestStructConvention:
         assert np.allclose(back2.a.vol, ref.vol)
         assert back2.snr == 12.5
 
+        # write-side mirror: mri_write(struct, base) routes to
+        # mri_write_struct
+        base3 = str(tmp_path / "demo3")
+        ft.mri_write(demo, base3)
+        back3 = ft.mri_read(base3, Demo)
+        assert np.allclose(back3.peak[0].vol, peaks[0].vol)
+        assert back3.snr == 12.5
+
     def test_two_arg_mri_read_rejects_non_type(self, tmp_path):
         with pytest.raises(TypeError, match="result-struct type"):
             ft.mri_read(str(tmp_path / "x"), "nope")

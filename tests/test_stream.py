@@ -156,6 +156,7 @@ class TestDeterministic:
         assert ft.trk_write(tr, p) is False
         t2 = ft.trk_read(p)
         assert t2.n_count == tr.n_count
+        assert len(t2) == t2.n_count == len(tr)   # len() = streamlines
         tr.materialize()
         for a, b in zip(t2.xyz[:5], tr.xyz[:5]):
             assert np.allclose(a, b, atol=1e-5)
