@@ -61,12 +61,12 @@ def _preflight():
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True)
     try:
-        # 120 s: a live tunnel's first dispatch can pay ~45-50 s of
+        # 300 s: a live tunnel's first dispatch can pay 47-200+ s of
         # executable staging in slow windows (measured 46.9 s on
-        # 2026-08-19); a truly wedged tunnel hangs for hours.  45 s
+        # 2026-08-19, preflight itself timed at 120 s minutes later); a truly wedged tunnel hangs for hours, so this still fails fast.  45 s
         # misclassified slow-staging windows as dead and would have
         # cost this bench its driver-captured record.
-        ok = p.wait(timeout=120) == 0
+        ok = p.wait(timeout=300) == 0
     except subprocess.TimeoutExpired:
         # Do NOT wait for the corpse: a tunnel-wedged child can sit in an
         # unkillable uninterruptible-syscall state and block the caller.
@@ -74,7 +74,7 @@ def _preflight():
         ok = False
     if not ok:
         sys.stderr.write("bench.py preflight: tunnel relay listening but "
-                         "UNRESPONSIVE (120 s tiny-matmul deadline) — "
+                         "UNRESPONSIVE (300 s tiny-matmul deadline) — "
                          "not a framework failure\n")
         sys.exit(2)
 

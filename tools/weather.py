@@ -58,11 +58,11 @@ def main():
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True)
     try:
-        # 120 s: a live tunnel's first dispatch can pay ~45-50 s of
+        # 300 s: a live tunnel's first dispatch can pay 47-200+ s of
         # executable staging in slow windows (measured 46.9 s on
-        # 2026-08-19); a truly wedged tunnel hangs for hours.  45 s
+        # 2026-08-19, preflight itself timed at 120 s minutes later); a truly wedged tunnel hangs for hours, so this still fails fast.  45 s
         # misclassified slow-staging windows as dead.
-        ok = p.wait(timeout=120) == 0
+        ok = p.wait(timeout=300) == 0
     except subprocess.TimeoutExpired:
         # Do NOT wait for the corpse: a tunnel-wedged child can sit in
         # an unkillable (uninterruptible-syscall) state, and
