@@ -31,6 +31,8 @@ def _preflight():
     axon_on_path = ".axon_site" in os.environ.get("PYTHONPATH", "")
     if "cpu" in plats and not axon_on_path:
         return  # pure-CPU run, no tunnel involved
+    if os.environ.get("FIBERS_PREFLIGHT", "") == "skip":
+        return  # caller (e.g. the recorder) just proved liveness itself
     import socket
     import subprocess
 
@@ -61,12 +63,12 @@ def _preflight():
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True)
     try:
-        # 300 s: a live tunnel's first dispatch can pay 47-200+ s of
-        # executable staging in slow windows (measured 46.9 s on
-        # 2026-08-19, preflight itself timed at 120 s minutes later); a truly wedged tunnel hangs for hours, so this still fails fast.  45 s
-        # misclassified slow-staging windows as dead and would have
-        # cost this bench its driver-captured record.
-        ok = p.wait(timeout=300) == 0
+        # 600 s: a live tunnel's fresh-process first dispatch measured
+        # 47 s, >120 s, and >300 s within one hour on 2026-08-19 (slow,
+        # highly variable session init/staging); a truly wedged tunnel
+        # hangs for HOURS, so 600 s still fails an order of magnitude
+        # faster than the driver timeout it protects.
+        ok = p.wait(timeout=600) == 0
     except subprocess.TimeoutExpired:
         # Do NOT wait for the corpse: a tunnel-wedged child can sit in an
         # unkillable uninterruptible-syscall state and block the caller.
@@ -74,7 +76,7 @@ def _preflight():
         ok = False
     if not ok:
         sys.stderr.write("bench.py preflight: tunnel relay listening but "
-                         "UNRESPONSIVE (300 s tiny-matmul deadline) — "
+                         "UNRESPONSIVE (600 s tiny-matmul deadline) — "
                          "not a framework failure\n")
         sys.exit(2)
 

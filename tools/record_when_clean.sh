@@ -108,7 +108,7 @@ while :; do
         && ! want_dsi
     then break; fi
 
-    w=$(timeout 600 python tools/weather.py 2>/dev/null | tail -1)
+    w=$(timeout 900 python tools/weather.py 2>/dev/null | tail -1)
     echo "[$(date +%H:%M:%S)] weather: $w" >> "$OUTDIR/log"
     # RUMBA's 600-iteration drain scales with the TV probe: at 55 ms the
     # projected total misses the <=85 s target, at <=45 ms it fits.
@@ -127,7 +127,7 @@ while :; do
     # ok <file>: window good enough for this benchmark right now?
     ok() { [ "$clean" = 1 ] || { [ "$near" = 1 ] && ! have "$1"; }; }
     if want_e2e && ok e2e.json; then      # the headline: ~8 min
-        FIBERS_PROFILE=1 run_one e2e.json python bench.py
+        FIBERS_PROFILE=1 FIBERS_PREFLIGHT=skip run_one e2e.json python bench.py
     elif want_dsi && ok dsi.json; then    # ~3 min
         FIBERS_PROFILE=1 run_one dsi.json \
             python benchmarks/bench_models.py --config 3

@@ -62,7 +62,7 @@ def main():
         # executable staging in slow windows (measured 46.9 s on
         # 2026-08-19, preflight itself timed at 120 s minutes later); a truly wedged tunnel hangs for hours, so this still fails fast.  45 s
         # misclassified slow-staging windows as dead.
-        ok = p.wait(timeout=300) == 0
+        ok = p.wait(timeout=450) == 0
     except subprocess.TimeoutExpired:
         # Do NOT wait for the corpse: a tunnel-wedged child can sit in
         # an unkillable (uninterruptible-syscall) state, and
