@@ -71,8 +71,6 @@ def _signal_cached(tag, shape, mask, ax, bval, bvec, rng):
     single-core host time at HCP scale, and even reloading a ~2 GB npz
     costs ~30 s — both would otherwise precede every benchmark attempt
     (clean windows are short)."""
-    import os
-
     try:
         import _cache                        # run as a script
     except ImportError:
@@ -240,7 +238,6 @@ def bench_rumba(small, niter=None, tv_bf16=False, chain_stream=False,
         # amplitude volumes, which the engine thresholds at f_thresh
         # (the propagation math expects unit vectors — the reference's
         # own TODO at src/stream.jl:146).
-        import os
         import tempfile
 
         # device-resident handoff: no peak fetch, no host orientation
