@@ -806,6 +806,32 @@ def rumba_rec(dwi: MRI, mask: MRI, odf_dirs: ODF = None,
                 if cpad:
                     kernel = np.pad(kernel, ((0, 0), (0, cpad)))
 
+    # Ahead-of-time compile of the post/peaks kernels on a daemon
+    # thread: they only run once after the iteration drain, so a cold
+    # persistent cache would otherwise serialize their remote compiles
+    # (~15-400 s each on tunneled runtimes) into the post stage instead
+    # of hiding them under the ~minute of iteration compute.
+    if jax.default_backend() != "cpu" and mesh is None:
+        import threading
+
+        def _warm_post(nr=n_rows, nc=ncomp + cpad, nv=nvert):
+            try:
+                sds = jax.ShapeDtypeStruct
+                _rumba_post.lower(
+                    sds((nr, nc), jnp.float32), nv).compile()
+                _rumba_peaks_kernel.lower(
+                    sds((nr, nv), jnp.float32), sds((nr,), jnp.float32),
+                    sds(half_verts.shape, jnp.float32),
+                    sds(nbr.shape, nbr.dtype),
+                    sds(nbr_ok.shape, nbr_ok.dtype), FTHRESH).compile()
+            except Exception as e:      # pragma: no cover - best effort
+                import sys
+                sys.stderr.write(f"fibers_tpu.rumba: post warm-up "
+                                 f"failed: {e!r}\n")
+
+        threading.Thread(target=_warm_post, daemon=True,
+                         name="fibers-warmup-rpost").start()
+
     # Initialization (reference: src/rusd.jl:522-537)
     fodf0 = np.concatenate([np.full(ncomp, 1.0 / ncomp, np.float32),
                             np.zeros(cpad, np.float32)])
